@@ -1,0 +1,93 @@
+"""Central configuration.
+
+Defaults mirror the reference flag set (train_opts.lua:12-98,
+run_model.lua:26-61); every knob that exists there exists here. Static
+fields participate in jit specialization (shapes / python control flow);
+nothing here is traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+from .ops.transforms import DENSECAP_ANCHORS, VGG16_FIELD_CENTERS
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseCapConfig:
+    # vocabulary / captions (from dataset json; preprocess.py)
+    vocab_size: int = 1000
+    seq_length: int = 15
+
+    # canvas: images resized so the longest edge is image_size, placed at
+    # the upper-left of a fixed square canvas (preprocess.py pads the
+    # same way); one compiled program for every image
+    image_size: int = 720
+
+    # conv trunk / recognition
+    input_dim: int = 512
+    output_height: int = 7
+    output_width: int = 7
+    fc_dim: int = 4096
+    drop_prob: float = 0.5
+    field_centers: Tuple[float, float, float, float] = VGG16_FIELD_CENTERS
+
+    # RPN (LocalizationLayer.lua:61-88, train_opts.lua:16)
+    rpn_filter_size: int = 3
+    rpn_num_filters: int = 256
+    zero_box_conv: bool = True
+    std: float = 0.01
+    anchor_scale: float = 1.0
+    anchors: Tuple[Tuple[int, int], ...] = DENSECAP_ANCHORS
+
+    # sampler (train_opts.lua:18-28)
+    sampler_batch_size: int = 256
+    sampler_high_thresh: float = 0.7
+    sampler_low_thresh: float = 0.3
+    train_remove_outbounds_boxes: bool = True
+
+    # loss weights (train_opts.lua:32-42)
+    mid_box_reg_weight: float = 0.05
+    mid_objectness_weight: float = 0.1
+    end_box_reg_weight: float = 0.1
+    end_objectness_weight: float = 0.1
+    captioning_weight: float = 1.0
+    box_reg_decay: float = 5e-5
+    weight_decay: float = 1e-6
+
+    # language model (train_opts.lua:20-22)
+    rnn_size: int = 512
+    rnn_encoding_size: int = 512
+
+    # gt padding (fixed-shape replacement for per-image region counts)
+    max_gt_boxes: int = 128
+
+    # test-time (train_opts.lua:76-80, DenseCapModel.lua:185-191)
+    test_rpn_nms_thresh: float = 0.7
+    test_final_nms_thresh: float = 0.3
+    test_max_proposals: int = 1000
+    clip_final_boxes: bool = True
+
+    # numerics: conv/matmul compute dtype (params & accums stay f32)
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchors)
+
+    def anchor_array(self):
+        return (jnp.asarray(self.anchors, dtype=jnp.float32)
+                * self.anchor_scale)
+
+    def replace(self, **kw) -> "DenseCapConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# VGG-mean BGR pixel offsets used by the whole reference pipeline
+# (DataLoader.lua:64-65, run_model.lua:72-74). Our canvas is RGB-ordered
+# HWC; subtract the mean per channel in RGB order.
+VGG_MEAN_BGR = (103.939, 116.779, 123.68)
+VGG_MEAN_RGB = (123.68, 116.779, 103.939)

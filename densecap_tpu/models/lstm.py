@@ -1,0 +1,267 @@
+"""Image-conditioned LSTM language model on lax.scan.
+
+Re-design of reference LanguageModel.lua + torch-rnn's stateful nn.LSTM:
+the reference mutates LSTM cell state across manual python-side steps
+(remember_states, LanguageModel.lua:299-344); here training is one scan
+over T+2 steps and decoding is a scan carrying (h, c, token) — a single
+compiled program either way, batched over all RoIs (the reference's beam
+search loops over images one at a time, LanguageModel.lua:190-282; ours
+vmaps the whole batch).
+
+Token scheme (LanguageModel.lua:32-34): words are 1..V,
+START = END = V+1, NULL = V+2. The embedding table has V+2 rows
+(1-indexed tokens -> row token-1); the output projection scores V+1
+classes (class j (0-indexed) <-> token j+1).
+
+Gate order is torch-rnn's (i, f, o, g) so t7 checkpoints convert by
+simple concatenation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LMConfig(NamedTuple):
+    vocab_size: int
+    seq_length: int
+    input_encoding_size: int = 512
+    rnn_size: int = 512
+    image_vector_dim: int = 4096
+
+
+def start_token(V):
+    return V + 1
+
+
+def null_token(V):
+    return V + 2
+
+
+def init_lm(key, cfg: LMConfig):
+    V, W, H, D = (cfg.vocab_size, cfg.input_encoding_size, cfg.rnn_size,
+                  cfg.image_vector_dim)
+    ks = jax.random.split(key, 5)
+    u = lambda k, shape, scale: jax.random.uniform(
+        k, shape, minval=-scale, maxval=scale
+    ).astype(jnp.float32)
+    hscale = 1.0 / H ** 0.5
+    return {
+        "img_enc": {"w": u(ks[0], (D, W), 1.0 / D ** 0.5),
+                    "b": jnp.zeros((W,), jnp.float32)},
+        "embed": u(ks[1], (V + 2, W), 0.01),
+        "lstm": {"Wx": u(ks[2], (W, 4 * H), hscale),
+                 "Wh": u(ks[3], (H, 4 * H), hscale),
+                 "b": jnp.zeros((4 * H,), jnp.float32)},
+        "proj": {"w": u(ks[4], (H, V + 1), hscale),
+                 "b": jnp.zeros((V + 1,), jnp.float32)},
+    }
+
+
+def _lstm_step(p, h, c, x, compute_dtype):
+    gates = (
+        jnp.dot(x.astype(compute_dtype), p["Wx"].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+        + jnp.dot(h.astype(compute_dtype), p["Wh"].astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+        + p["b"]
+    )
+    Hn = h.shape[-1]
+    i = jax.nn.sigmoid(gates[..., 0 * Hn:1 * Hn])
+    f = jax.nn.sigmoid(gates[..., 1 * Hn:2 * Hn])
+    o = jax.nn.sigmoid(gates[..., 2 * Hn:3 * Hn])
+    g = jnp.tanh(gates[..., 3 * Hn:4 * Hn])
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+    return h2, c2
+
+
+def _embed(params, tokens):
+    """1-indexed tokens -> word vectors (row token-1, clamped for safety)."""
+    idx = jnp.clip(tokens - 1, 0, params["embed"].shape[0] - 1)
+    return params["embed"][idx]
+
+
+def _encode_image(params, vectors, compute_dtype):
+    p = params["img_enc"]
+    x = jnp.dot(vectors.astype(compute_dtype), p["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32) + p["b"]
+    return jax.nn.relu(x)
+
+
+def _project(params, h, compute_dtype):
+    p = params["proj"]
+    return jnp.dot(h.astype(compute_dtype), p["w"].astype(compute_dtype),
+                   preferred_element_type=jnp.float32) + p["b"]
+
+
+def forward_train(params, image_vectors, gt_seq, cfg: LMConfig,
+                  compute_dtype=jnp.float32):
+    """Training forward: scores over T+2 steps.
+
+    image_vectors: (P, D) RoI codes; gt_seq: (P, T) int tokens in [0, V]
+    (0 = padding). Returns (P, T+2, V+1) scores.
+
+    Input sequence construction (LanguageModel.lua:111-126): step 0 feeds
+    the encoded image, step 1 feeds START, steps 2..T+1 feed gt tokens
+    with 0 replaced by NULL.
+    """
+    P, T = gt_seq.shape
+    V = cfg.vocab_size
+    with_start = jnp.concatenate(
+        [jnp.full((P, 1), start_token(V), dtype=gt_seq.dtype), gt_seq],
+        axis=1,
+    )
+    with_start = jnp.where(with_start == 0, null_token(V), with_start)
+    wordvecs = _embed(params, with_start)             # (P, T+1, W)
+    img_vec = _encode_image(params, image_vectors, compute_dtype)
+    xs = jnp.concatenate([img_vec[:, None, :], wordvecs], axis=1)
+
+    H = cfg.rnn_size
+    h0 = jnp.zeros((P, H), jnp.float32)
+    c0 = jnp.zeros((P, H), jnp.float32)
+
+    def step(carry, x_t):
+        h, c = carry
+        h2, c2 = _lstm_step(params["lstm"], h, c, x_t, compute_dtype)
+        return (h2, c2), h2
+
+    (_, _), hs = lax.scan(step, (h0, c0), jnp.swapaxes(xs, 0, 1))
+    hs = jnp.swapaxes(hs, 0, 1)                       # (P, T+2, H)
+    return _project(params, hs, compute_dtype)
+
+
+def get_target(gt_seq, vocab_size):
+    """Build TemporalCrossEntropy targets (LanguageModel.lua:148-164).
+
+    gt_seq: (P, T) ints in [0, V]. Returns (P, T+2): col 0 is 0 (image
+    step, masked), cols 1..T copy gt, and the FIRST zero in cols 1..T+1
+    becomes END. All following entries stay 0 (masked).
+    """
+    P, T = gt_seq.shape
+    y = jnp.concatenate(
+        [gt_seq, jnp.zeros((P, 1), dtype=gt_seq.dtype)], axis=1
+    )  # (P, T+1)
+    first_zero = jnp.argmax(y == 0, axis=1)  # first True; always exists
+    y = y.at[jnp.arange(P), first_zero].set(start_token(vocab_size))
+    return jnp.concatenate([jnp.zeros((P, 1), dtype=y.dtype), y], axis=1)
+
+
+def sample(params, image_vectors, cfg: LMConfig,
+           compute_dtype=jnp.float32):
+    """Greedy argmax decoding (LanguageModel.lua:293-348).
+
+    image_vectors: (P, D). Returns (P, T) int32 tokens in [1, V+1]
+    (END may appear; callers cut at END when decoding to text).
+    """
+    P = image_vectors.shape[0]
+    V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
+
+    img_vec = _encode_image(params, image_vectors, compute_dtype)
+    h0 = jnp.zeros((P, H), jnp.float32)
+    c0 = jnp.zeros((P, H), jnp.float32)
+    h, c = _lstm_step(params["lstm"], h0, c0, img_vec, compute_dtype)
+
+    tok0 = jnp.full((P,), start_token(V), dtype=jnp.int32)
+
+    def step(carry, _):
+        h, c, tok = carry
+        x = _embed(params, tok)
+        h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
+        scores = _project(params, h2, compute_dtype)  # (P, V+1)
+        nxt = (jnp.argmax(scores, axis=-1) + 1).astype(jnp.int32)
+        return (h2, c2, nxt), nxt
+
+    _, seq = lax.scan(step, (h, c, tok0), None, length=T)
+    return jnp.swapaxes(seq, 0, 1)                    # (P, T)
+
+
+def sample_with_logprobs(params, image_vectors, cfg: LMConfig,
+                         compute_dtype=jnp.float32):
+    """Greedy decode also returning per-step chosen log-probabilities."""
+    P = image_vectors.shape[0]
+    V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
+    img_vec = _encode_image(params, image_vectors, compute_dtype)
+    h0 = jnp.zeros((P, H), jnp.float32)
+    c0 = jnp.zeros((P, H), jnp.float32)
+    h, c = _lstm_step(params["lstm"], h0, c0, img_vec, compute_dtype)
+    tok0 = jnp.full((P,), start_token(V), dtype=jnp.int32)
+
+    def step(carry, _):
+        h, c, tok = carry
+        x = _embed(params, tok)
+        h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
+        scores = _project(params, h2, compute_dtype)
+        logp = jax.nn.log_softmax(scores, axis=-1)
+        nxt0 = jnp.argmax(scores, axis=-1)
+        lp = jnp.take_along_axis(logp, nxt0[:, None], axis=-1)[:, 0]
+        nxt = (nxt0 + 1).astype(jnp.int32)
+        return (h2, c2, nxt), (nxt, lp)
+
+    _, (seq, lps) = lax.scan(step, (h, c, tok0), None, length=T)
+    return jnp.swapaxes(seq, 0, 1), jnp.swapaxes(lps, 0, 1)
+
+
+def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
+               compute_dtype=jnp.float32):
+    """Batched beam search (LanguageModel.lua:170-290).
+
+    The reference runs one image at a time, using the minibatch dim for
+    beams; we vmap images so the whole batch decodes in one program.
+    Matches the reference's scoring quirk: once a beam emits END, later
+    steps contribute 0 logprob (not -inf), LanguageModel.lua:242-245.
+
+    Returns (P, T) int32 tokens.
+    """
+    V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
+    B = beam_size
+    END = start_token(V)
+
+    img_vecs = _encode_image(params, image_vectors, compute_dtype)  # (P, W)
+
+    def one_image(img_vec):
+        h0 = jnp.zeros((1, H), jnp.float32)
+        c0 = jnp.zeros((1, H), jnp.float32)
+        h, c = _lstm_step(params["lstm"], h0, c0, img_vec[None],
+                          compute_dtype)
+        x = _embed(params, jnp.full((1,), END, dtype=jnp.int32))
+        h, c = _lstm_step(params["lstm"], h, c, x, compute_dtype)
+        logp = jax.nn.log_softmax(
+            _project(params, h, compute_dtype), axis=-1
+        )[0]  # (V+1,)
+        beam_lp, idx0 = lax.top_k(logp, B)
+        beams = jnp.ones((B, T), dtype=jnp.int32)
+        beams = beams.at[:, 0].set((idx0 + 1).astype(jnp.int32))
+        hB = jnp.broadcast_to(h, (B, H))
+        cB = jnp.broadcast_to(c, (B, H))
+
+        def step(carry, t):
+            beams, beam_lp, h, c = carry
+            words = beams[jnp.arange(B), t - 1]
+            x = _embed(params, words)
+            h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
+            logp = jax.nn.log_softmax(
+                _project(params, h2, compute_dtype), axis=-1
+            )  # (B, V+1)
+            unfinished = ~jnp.any(beams == END, axis=1)
+            logp = logp * unfinished[:, None].astype(logp.dtype)
+            top_lp, top_words = lax.top_k(logp, B)          # (B, B)
+            cand = beam_lp[:, None] + top_lp                 # (B, B)
+            new_lp, flat_idx = lax.top_k(cand.reshape(-1), B)
+            src_beam = flat_idx // B
+            word0 = top_words.reshape(-1)[flat_idx]
+            new_beams = beams[src_beam].at[:, t].set(
+                (word0 + 1).astype(jnp.int32)
+            )
+            return (new_beams, new_lp, h2[src_beam], c2[src_beam]), None
+
+        (beams, beam_lp, _, _), _ = lax.scan(
+            step, (beams, beam_lp, hB, cB), jnp.arange(1, T)
+        )
+        return beams[jnp.argmax(beam_lp)]
+
+    return jax.vmap(one_image)(img_vecs)

@@ -1,0 +1,135 @@
+"""VGG-16 trunk and FC recognition head as functional pytrees.
+
+Replaces the reference's loadcaffe-imported torch Sequential
+(net_utils.lua:7-24, chopped at DenseCapModel.lua:61-67):
+
+  * trunk1 = conv1_1 .. pool2   (torch layers 1-10; frozen during training)
+  * trunk2 = conv3_1 .. relu5_3 (torch layers 11-30; optionally finetuned;
+    note: no pool5)
+  * recog  = flatten -> fc6 -> relu -> dropout -> fc7 -> relu -> dropout
+    (torch layers 32-38), producing 4096-d RoI codes
+
+Layout is NHWC with HWIO kernels (TPU-native; XLA lowers convs straight
+onto the MXU). Convolutions run in a configurable compute dtype
+(bfloat16 by default on TPU) with f32 params and f32 accumulation.
+
+Checkpoint conversion note: torch flattens RoI features channel-major
+(C, 7, 7) while we flatten NHWC (7, 7, C); the t7/caffemodel converter
+(densecap_tpu/utils/checkpoint.py) permutes fc6's input dim accordingly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# (name, out_channels) per conv; 'M' = 2x2/2 max pool.
+TRUNK1_CFG = [("conv1_1", 64), ("conv1_2", 64), "M",
+              ("conv2_1", 128), ("conv2_2", 128), "M"]
+TRUNK2_CFG = [("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), "M",
+              ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), "M",
+              ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512)]
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    # He-normal fan-in init (the reference relies on pretrained weights;
+    # for from-scratch training He init is the sane default for ReLU nets)
+    std = (2.0 / (kh * kw * cin)) ** 0.5
+    w = jax.random.normal(key, (kh, kw, cin, cout)) * std
+    return {"w": w.astype(jnp.float32),
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _linear_init(key, cin, cout, std=None):
+    if std is None:
+        std = (2.0 / cin) ** 0.5
+    w = jax.random.normal(key, (cin, cout)) * std
+    return {"w": w.astype(jnp.float32),
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def init_trunk(key, cfg, cin):
+    params = {}
+    for item in cfg:
+        if item == "M":
+            continue
+        name, cout = item
+        key, sub = jax.random.split(key)
+        params[name] = _conv_init(sub, 3, 3, cin, cout)
+        cin = cout
+    return params, cin
+
+
+def conv2d_same(x, p, compute_dtype):
+    """3x3 'same' conv + bias, NHWC/HWIO, f32 accumulation."""
+    y = lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        p["w"].astype(compute_dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["b"]
+
+
+def max_pool_2x2(x):
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16):
+    """Run a conv stack. x: (N, H, W, C) f32. Returns f32 activations."""
+    for item in cfg:
+        if item == "M":
+            x = max_pool_2x2(x)
+        else:
+            name, _ = item
+            x = jax.nn.relu(conv2d_same(x, params[name], compute_dtype))
+    return x
+
+
+def init_recog(key, in_dim=7 * 7 * 512, fc_dim=4096):
+    k1, k2 = jax.random.split(key)
+    return {"fc6": _linear_init(k1, in_dim, fc_dim),
+            "fc7": _linear_init(k2, fc_dim, fc_dim)}
+
+
+def apply_recog(params, roi_feats, *, train, dropout_key=None,
+                drop_prob=0.5, compute_dtype=jnp.bfloat16):
+    """RoI features (B, 7, 7, C) -> RoI codes (B, 4096), f32 out.
+
+    Mirrors VGG fc6/fc7 with ReLU+Dropout (torch layers 32-38; dropout p
+    set by -drop_prob, train_opts.lua:60). Inference scales identity
+    (torch nn.Dropout is inverted dropout — scaling at train time only).
+    """
+    B = roi_feats.shape[0]
+    x = roi_feats.reshape(B, -1).astype(compute_dtype)
+    for name in ("fc6", "fc7"):
+        p = params[name]
+        x = jnp.dot(x, p["w"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32) + p["b"]
+        x = jax.nn.relu(x)
+        if train and drop_prob > 0:
+            assert dropout_key is not None
+            dropout_key, sub = jax.random.split(dropout_key)
+            keep = jax.random.bernoulli(sub, 1.0 - drop_prob, x.shape)
+            x = jnp.where(keep, x / (1.0 - drop_prob), 0.0)
+        x = x.astype(compute_dtype)
+    return x.astype(jnp.float32)
+
+
+def feat_extent(h, w):
+    """Feature-map extent for an h x w image under the 4-pool trunk.
+
+    The floor chain matches torch SpatialMaxPooling sizing, so a padded
+    canvas run + this extent equals the reference's cropped-image run.
+    Works with python ints or traced scalars.
+    """
+    fh, fw = h, w
+    for _ in range(4):
+        fh = fh // 2
+        fw = fw // 2
+    return fh, fw

@@ -1,0 +1,141 @@
+"""Fixed-shape exact greedy NMS for TPU.
+
+The reference (densecap/box_utils.lua:154-256) runs a serial greedy loop
+on the host with a CPU sort — a dynamic-shape, latency-bound design that
+cannot live inside an XLA program. Here greedy NMS is reformulated as a
+tiled suppression sweep with static shapes:
+
+  1. sort boxes by descending score (one XLA sort),
+  2. sweep tiles of T boxes: within a tile, resolve greedy suppression
+     by fixpoint iteration on the T x T IoU matrix; then suppress all
+     later boxes with one (T, N) IoU matrix op,
+  3. emit the first `max_out` surviving boxes in score order, plus a
+     validity mask (fewer survivors -> padded slots).
+
+This computes EXACTLY the greedy NMS picks of the reference (same pascal
++1 IoU, same descending-score greedy order, same early stop at max_out),
+but as a single compiled program: ~N/T matrix steps instead of up to N
+serial host iterations. Suppression uses strict IoU > thresh survival
+(reference keeps boxes with iou <= overlap, box_utils.lua:241).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .boxes import iou_pascal
+
+NEG_INF = -1e38
+
+
+def _pad_to_multiple(x, multiple, axis, value):
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=128):
+    """Greedy NMS with fixed output size.
+
+    Args:
+      boxes: (N, 4) float, x1y1x2y2 (1-indexed inclusive pixels).
+      scores: (N,) float.
+      iou_thresh: scalar; boxes with IoU > iou_thresh to a kept
+        higher-scored box are suppressed (pascal +1 IoU).
+      max_out: static int K, number of output slots.
+      valid: optional (N,) bool; invalid boxes can neither be kept nor
+        suppress anything (replaces the reference's dynamic-compaction
+        of clipped boxes, LocalizationLayer.lua:285-298).
+      tile_size: static tile width for the suppression sweep.
+
+    Returns:
+      idx: (K,) int32 indices into the input arrays, in decreasing score
+        order; padded slots hold 0.
+      out_valid: (K,) bool marking real outputs.
+    """
+    N = boxes.shape[0]
+    T = int(tile_size)
+    if valid is None:
+        valid = jnp.ones((N,), dtype=bool)
+
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores)  # descending, stable
+    sboxes = boxes[order].astype(jnp.float32)
+    svalid = masked_scores[order] > NEG_INF / 2
+
+    sboxes = _pad_to_multiple(sboxes, T, 0, 0.0)
+    svalid = _pad_to_multiple(svalid, T, 0, False)
+    Np = sboxes.shape[0]
+    num_tiles = Np // T
+
+    col_idx = jnp.arange(Np)
+
+    def tile_body(t, alive):
+        start = t * T
+        tile_boxes = lax.dynamic_slice(sboxes, (start, 0), (T, 4))
+        alive_in = lax.dynamic_slice(alive, (start,), (T,))
+
+        # --- within-tile greedy fixpoint -------------------------------
+        iou_tt = iou_pascal(tile_boxes, tile_boxes)  # (T, T)
+        r = jnp.arange(T)
+        earlier = r[:, None] < r[None, :]  # row j strictly earlier than col i
+        sup_tt = (iou_tt > iou_thresh) & earlier
+
+        def fix_cond(state):
+            cur, prev, it = state
+            return jnp.logical_and(jnp.any(cur != prev), it < T)
+
+        def fix_step(state):
+            cur, _, it = state
+            suppressed = jnp.any(sup_tt & cur[:, None], axis=0)
+            new = alive_in & ~suppressed
+            return new, cur, it + 1
+
+        first = alive_in & ~jnp.any(sup_tt & alive_in[:, None], axis=0)
+        alive_tile, _, _ = lax.while_loop(
+            fix_cond, fix_step, (first, alive_in, jnp.int32(0))
+        )
+
+        # --- suppress all later boxes with this tile's survivors -------
+        iou_tn = iou_pascal(tile_boxes, sboxes)  # (T, Np)
+        sup_later = jnp.any(
+            (iou_tn > iou_thresh) & alive_tile[:, None], axis=0
+        ) & (col_idx >= start + T)
+        alive = alive & ~sup_later
+        alive = lax.dynamic_update_slice(alive, alive_tile, (start,))
+        return alive
+
+    alive = lax.fori_loop(0, num_tiles, tile_body, svalid)
+
+    # --- emit first K survivors in score order --------------------------
+    K = int(max_out)
+    rank = jnp.cumsum(alive) - 1  # rank among survivors
+    take = alive & (rank < K)
+    slot = jnp.where(take, rank, K)  # K = out of bounds -> dropped
+    sorted_orig_idx = jnp.concatenate(
+        [order, jnp.zeros((Np - N,), dtype=order.dtype)]
+    )
+    idx = jnp.zeros((K,), dtype=jnp.int32).at[slot].set(
+        sorted_orig_idx.astype(jnp.int32), mode="drop"
+    )
+    total = jnp.minimum(jnp.sum(alive), K)
+    out_valid = jnp.arange(K) < total
+    return idx, out_valid
+
+
+def nms_scored_boxes(boxes_scores, iou_thresh, max_out=None):
+    """Convenience wrapper mirroring the reference nms() signature.
+
+    boxes_scores: (N, 5) with columns (x1, y1, x2, y2, score), as in
+    reference box_utils.lua:154. Returns (idx, valid) with K = max_out
+    (or N if max_out is None).
+    """
+    n = boxes_scores.shape[0]
+    k = n if max_out is None else int(max_out)
+    return nms(boxes_scores[:, :4], boxes_scores[:, 4], iou_thresh, k)

@@ -1,0 +1,79 @@
+"""Device mesh + sharding layout.
+
+The reference has no multi-device story at all (SURVEY.md §2.6: one GPU,
+cutorch.setDevice, N == 1 minibatches). Here scale-out is first-class
+and entirely XLA-collective based — no hand-written transport:
+
+  * axis "data": batch dim of images/gt; gradients all-reduce (psum)
+    over ICI automatically under jit once shardings are annotated.
+  * axis "model": tensor-parallel shard of the weight-heavy tensors —
+    VGG fc6/fc7 (25088x4096, 4096x4096) and the vocab projection
+    (rnn_size x V+1) — the only places TP pays for itself in this model
+    (everything else is < 5M params).
+
+Layouts are expressed as NamedSharding PartitionSpecs over the param
+pytree; XLA inserts the all-gathers/reduce-scatters.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, model_parallel=1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def param_pspecs(params):
+    """PartitionSpec tree: TP-shard the big matmuls, replicate the rest.
+
+    fc6/fc7 shard their OUTPUT dim ('model'); the LM vocab projection
+    shards the vocab dim. Biases shard to match. Everything else is
+    replicated (conv kernels are small relative to the FC stack's ~119M
+    params — the same observation that led the reference to keep them
+    resident per-GPU).
+    """
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "recog" in keys:  # fc6 / fc7
+            if keys[-1] == "w":
+                return P(None, "model")
+            if keys[-1] == "b":
+                return P("model")
+        if "lm" in keys and "proj" in keys:
+            if keys[-1] == "w":
+                return P(None, "model")
+            if keys[-1] == "b":
+                return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params, mesh: Mesh):
+    specs = param_pspecs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_pspec():
+    """Batch arrays shard their leading dim over 'data'."""
+    return P("data")
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_pspec())), batch
+    )
