@@ -84,8 +84,9 @@ def roi_align(feats, boxes, img_h, img_w, out_h=7, out_w=7,
         feat_h = Hf
     if feat_w is None:
         feat_w = Wf
+    fdt = jnp.promote_types(boxes.dtype, jnp.float32)
     yf, xf = _sample_coords(
-        boxes.astype(jnp.float32), img_h, img_w, feat_h, feat_w, out_h, out_w
+        boxes.astype(fdt), img_h, img_w, feat_h, feat_w, out_h, out_w
     )
 
     # Border-clamped bilinear interpolation, separable gather:
@@ -127,8 +128,9 @@ def roi_align_naive(feats, boxes, img_h, img_w, out_h=7, out_w=7,
         feat_h = Hf
     if feat_w is None:
         feat_w = Wf
+    fdt = jnp.promote_types(boxes.dtype, jnp.float32)
     yf, xf = _sample_coords(
-        boxes.astype(jnp.float32), img_h, img_w, feat_h, feat_w, out_h, out_w
+        boxes.astype(fdt), img_h, img_w, feat_h, feat_w, out_h, out_w
     )
     yy = jnp.broadcast_to(yf[:, :, None], (boxes.shape[0], out_h, out_w))
     xx = jnp.broadcast_to(xf[:, None, :], (boxes.shape[0], out_h, out_w))
