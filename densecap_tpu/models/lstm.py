@@ -147,7 +147,9 @@ def get_target(gt_seq, vocab_size):
         [gt_seq, jnp.zeros((P, 1), dtype=gt_seq.dtype)], axis=1
     )  # (P, T+1)
     first_zero = jnp.argmax(y == 0, axis=1)  # first True; always exists
-    y = y.at[jnp.arange(P), first_zero].set(start_token(vocab_size))
+    y = y.at[jnp.arange(P), first_zero].set(
+        jnp.asarray(start_token(vocab_size), dtype=y.dtype)
+    )
     return jnp.concatenate([jnp.zeros((P, 1), dtype=y.dtype), y], axis=1)
 
 

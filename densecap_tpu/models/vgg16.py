@@ -132,4 +132,7 @@ def feat_extent(h, w):
     for _ in range(4):
         fh = fh // 2
         fw = fw // 2
-    return fh, fw
+    if isinstance(fh, int):
+        return fh, fw
+    return (jnp.asarray(fh).astype(jnp.int32),
+            jnp.asarray(fw).astype(jnp.int32))

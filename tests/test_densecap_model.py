@@ -1,0 +1,136 @@
+"""End-to-end model tests on a tiny config (the reference's
+DenseCapModel_test.lua / LocalizationLayer_test.lua pattern: full
+forward(+backward) on a small random image, checking shapes, finiteness
+and loss structure)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from densecap_tpu.config import DenseCapConfig
+from densecap_tpu.models import densecap
+
+TINY = DenseCapConfig(
+    vocab_size=20,
+    seq_length=4,
+    image_size=96,
+    anchors=((8, 8), (16, 16), (12, 24), (24, 12)),
+    sampler_batch_size=16,
+    max_gt_boxes=8,
+    test_max_proposals=12,
+    rnn_size=32,
+    rnn_encoding_size=32,
+    fc_dim=64,
+    rpn_num_filters=32,
+    compute_dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    params = densecap.init_params(jax.random.PRNGKey(0), TINY)
+    img = jax.random.normal(
+        jax.random.PRNGKey(1), (TINY.image_size, TINY.image_size, 3)
+    ) * 10.0
+    return params, img
+
+
+def _gt():
+    G = TINY.max_gt_boxes
+    gt_boxes = jnp.zeros((G, 4)).at[:3].set(
+        jnp.array([[20.0, 20.0, 16.0, 16.0],
+                   [50.0, 40.0, 24.0, 12.0],
+                   [70.0, 60.0, 10.0, 18.0]])
+    )
+    gt_labels = jnp.zeros((G, TINY.seq_length), jnp.int32).at[:3].set(
+        jnp.array([[3, 5, 0, 0], [7, 0, 0, 0], [2, 9, 11, 4]])
+    )
+    gt_valid = jnp.arange(G) < 3
+    return gt_boxes, gt_labels, gt_valid
+
+
+def test_forward_train_losses(tiny_setup):
+    params, img = tiny_setup
+    gt_boxes, gt_labels, gt_valid = _gt()
+    losses = densecap.forward_train(
+        params, img, jnp.float32(96), jnp.float32(80),
+        gt_boxes, gt_labels, gt_valid, jax.random.PRNGKey(2), TINY,
+    )
+    expected_keys = {
+        "mid_objectness_loss", "mid_box_reg_loss", "box_decay_loss",
+        "end_objectness_loss", "end_box_reg_loss", "captioning_loss",
+        "total_loss",
+    }
+    assert set(losses) == expected_keys
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(losses["total_loss"]) > 0
+    # zero-init box conv -> transforms are 0 -> no decay loss at init
+    assert float(losses["box_decay_loss"]) == 0.0
+
+
+def test_forward_train_grads_finite_and_structured(tiny_setup):
+    params, img = tiny_setup
+    gt_boxes, gt_labels, gt_valid = _gt()
+
+    def loss_fn(p):
+        return densecap.forward_train(
+            p, img, jnp.float32(96), jnp.float32(80),
+            gt_boxes, gt_labels, gt_valid, jax.random.PRNGKey(2), TINY,
+        )["total_loss"]
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # gradient must reach every component
+    for part in ("rpn", "recog", "objectness", "box_reg", "lm", "trunk2"):
+        total = sum(
+            float(jnp.abs(x).sum())
+            for x in jax.tree_util.tree_leaves(g[part])
+        )
+        assert total > 0, f"no gradient into {part}"
+
+
+def test_forward_test_output(tiny_setup):
+    params, img = tiny_setup
+    out = densecap.forward_test(
+        params, img, jnp.float32(96), jnp.float32(80), TINY
+    )
+    K = TINY.test_max_proposals
+    assert out.boxes.shape == (K, 4)
+    assert out.scores.shape == (K,)
+    assert out.captions.shape == (K, TINY.seq_length)
+    assert out.valid.shape == (K,)
+    assert int(out.num) == np.asarray(out.valid).sum()
+    assert int(out.num) > 0
+    # all valid boxes lie within the true image extent (clipped)
+    b = np.asarray(out.boxes)[np.asarray(out.valid)]
+    x1 = b[:, 0] - (b[:, 2] - 1) / 2
+    x2 = b[:, 0] + (b[:, 2] - 1) / 2
+    assert (x1 >= 0.5).all() and (x2 <= 80.5).all()
+
+
+def test_forward_test_jit_consistency(tiny_setup):
+    params, img = tiny_setup
+    f = jax.jit(
+        lambda p, im, h, w: densecap.forward_test(p, im, h, w, TINY)
+    )
+    a = f(params, img, jnp.float32(96), jnp.float32(80))
+    b = densecap.forward_test(
+        params, img, jnp.float32(96), jnp.float32(80), TINY
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.boxes), np.asarray(b.boxes), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+
+
+def test_extract_features(tiny_setup):
+    params, img = tiny_setup
+    boxes, codes, valid = densecap.extract_features(
+        params, img, jnp.float32(96), jnp.float32(80), TINY, max_boxes=5
+    )
+    assert boxes.shape == (5, 4)
+    assert codes.shape == (5, TINY.fc_dim)
+    assert valid.shape == (5,)
