@@ -1,0 +1,111 @@
+"""Training step tests: optimizer zones, finiteness, loss decrease on a
+fixed batch, and the multichip dryrun on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densecap_tpu.config import DenseCapConfig
+from densecap_tpu.parallel import train_step as ts
+
+TINY = DenseCapConfig(
+    vocab_size=19,
+    seq_length=4,
+    image_size=64,
+    anchors=((8, 8), (16, 16), (12, 24), (24, 12)),
+    sampler_batch_size=8,
+    max_gt_boxes=4,
+    test_max_proposals=8,
+    rnn_size=32,
+    rnn_encoding_size=32,
+    fc_dim=64,
+    rpn_num_filters=32,
+    compute_dtype=jnp.float32,
+)
+
+
+def _batch(B=2):
+    G, L, S = TINY.max_gt_boxes, TINY.seq_length, TINY.image_size
+    rng = np.random.RandomState(0)
+    return {
+        "image": jnp.asarray(rng.randn(B, S, S, 3).astype(np.float32)) * 5,
+        "height": jnp.full((B,), float(S), jnp.float32),
+        "width": jnp.full((B,), 48.0, jnp.float32),
+        "gt_boxes": jnp.tile(
+            jnp.array([[[20.0, 20.0, 12.0, 12.0],
+                        [34.0, 30.0, 10.0, 16.0],
+                        [0.0, 0.0, 0.0, 0.0],
+                        [0.0, 0.0, 0.0, 0.0]]]), (B, 1, 1)),
+        "gt_labels": jnp.tile(
+            jnp.array([[[3, 5, 0, 0], [7, 2, 9, 0],
+                        [0, 0, 0, 0], [0, 0, 0, 0]]], dtype=jnp.int32),
+            (B, 1, 1)),
+        "gt_valid": jnp.tile(
+            jnp.array([[True, True, False, False]]), (B, 1)),
+    }
+
+
+def test_train_step_runs_and_updates():
+    state, tx = ts.init_state(jax.random.PRNGKey(0), TINY,
+                              learning_rate=1e-3)
+    batch = _batch()
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+    state, losses = ts.train_step(state, batch, jax.random.PRNGKey(1),
+                                  TINY, tx)
+    assert int(state.step) == 1
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    # trunk1 frozen, trunk2 frozen until finetune flag, rest updated
+    def delta(tree_a, tree_b):
+        return sum(
+            float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(tree_a),
+                jax.tree_util.tree_leaves(tree_b),
+            )
+        )
+
+    assert delta(p0["trunk1"], state.params["trunk1"]) == 0
+    assert delta(p0["trunk2"], state.params["trunk2"]) == 0
+    assert delta(p0["rpn"], state.params["rpn"]) > 0
+    assert delta(p0["lm"], state.params["lm"]) > 0
+
+
+def test_finetune_flag_enables_conv2_without_recompile():
+    state, tx = ts.init_state(jax.random.PRNGKey(0), TINY,
+                              learning_rate=1e-3)
+    state = state._replace(finetune_cnn=jnp.ones((), bool))
+    batch = _batch()
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+    state, _ = ts.train_step(state, batch, jax.random.PRNGKey(1), TINY, tx)
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0["trunk2"]),
+            jax.tree_util.tree_leaves(state.params["trunk2"]),
+        )
+    )
+    assert moved > 0
+
+
+def test_loss_decreases_on_fixed_batch():
+    state, tx = ts.init_state(jax.random.PRNGKey(0), TINY,
+                              learning_rate=1e-3)
+    batch = _batch()
+    first = None
+    rng = jax.random.PRNGKey(42)
+    for i in range(25):
+        # fixed dropout/sampling rng -> deterministic objective
+        state, losses = ts.train_step(state, batch, rng, TINY, tx)
+        if first is None:
+            first = float(losses["total_loss"])
+    last = float(losses["total_loss"])
+    assert last < first, (first, last)
+
+
+def test_dryrun_multichip_cpu():
+    import __graft_entry__ as ge
+
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
