@@ -1,0 +1,56 @@
+"""Evaluation CLI (reference evaluate_model.lua): load a checkpoint,
+run eval_split on val/test with 1000 proposals, print mAP."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data_h5", required=True)
+    p.add_argument("--data_json", required=True)
+    p.add_argument("--split", default="test", choices=("val", "test"))
+    p.add_argument("--max_images", type=int, default=-1)
+    p.add_argument("--num_proposals", type=int, default=1000)
+    p.add_argument("--rpn_nms_thresh", type=float, default=0.7)
+    p.add_argument("--final_nms_thresh", type=float, default=0.3)
+    p.add_argument("--max_gt_boxes", type=int, default=128)
+    p.add_argument("--out_json", default="")
+    args = p.parse_args(argv)
+
+    from ..config import DenseCapConfig
+    from ..data.loader import DenseCapLoader
+    from ..eval.eval_split import eval_split
+    from ..utils import checkpoint as ckpt
+
+    loader = DenseCapLoader(args.data_h5, args.data_json,
+                            max_gt_boxes=args.max_gt_boxes)
+    params, extra = ckpt.load_params(args.checkpoint)
+    cfg = DenseCapConfig(
+        vocab_size=loader.vocab_size(),
+        seq_length=loader.seq_length(),
+        image_size=loader.canvas,
+        test_max_proposals=args.num_proposals,
+        test_rpn_nms_thresh=args.rpn_nms_thresh,
+        test_final_nms_thresh=args.final_nms_thresh,
+        max_gt_boxes=args.max_gt_boxes,
+    )
+    split = {"val": 1, "test": 2}[args.split]
+    results = eval_split(params, loader, cfg, split=split,
+                         max_images=args.max_images)
+    print(json.dumps({
+        "map": results["ap_results"]["map"],
+        "detmap": results["ap_results"]["detmap"],
+        "loss": results["loss_results"].get("total_loss"),
+        "score_method": results["ap_results"]["score_method"],
+    }))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Inference CLI (reference run_model.lua).
+
+Runs DenseCap on an image / directory / dataset split and writes the
+d3-viewer JSON (vis/data/results.json, schema run_model.lua:89-95,
+182-188) and/or baked images with boxes+captions drawn in.
+
+  python -m densecap_tpu.cli.run_model --checkpoint ck.npz \
+      --input_image img.jpg --output_dir vis/data
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True,
+                   help=".npz produced by utils.checkpoint.save_params")
+    p.add_argument("--input_image", default="")
+    p.add_argument("--input_dir", default="")
+    p.add_argument("--input_split", default="",
+                   help="val|test (requires --data_h5/--data_json)")
+    p.add_argument("--data_h5", default="")
+    p.add_argument("--data_json", default="")
+    p.add_argument("--image_size", type=int, default=720)
+    p.add_argument("--rpn_nms_thresh", type=float, default=0.7)
+    p.add_argument("--final_nms_thresh", type=float, default=0.3)
+    p.add_argument("--num_proposals", type=int, default=1000)
+    p.add_argument("--boxes_to_show", type=int, default=10)
+    p.add_argument("--output_dir", default="vis/data")
+    p.add_argument("--output_vis", type=int, default=1)
+    p.add_argument("--output_images", type=int, default=0,
+                   help="also write baked images with drawn boxes")
+    p.add_argument("--max_images", type=int, default=100)
+    p.add_argument("--beam_size", type=int, default=0)
+    return p
+
+
+def get_input_images(args):
+    if args.input_image:
+        return [args.input_image]
+    if args.input_dir:
+        exts = (".jpg", ".jpeg", ".png", ".ppm")
+        return sorted(
+            os.path.join(args.input_dir, f)
+            for f in os.listdir(args.input_dir)
+            if f.lower().endswith(exts)
+        )[: args.max_images]
+    raise SystemExit("need --input_image or --input_dir")
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from ..config import DenseCapConfig
+    from ..models import densecap
+    from ..ops.boxes import xcycwh_to_xywh
+    from ..utils import checkpoint as ckpt
+    from ..utils.image import load_image, preprocess_for_model
+    from ..utils.text import decode_sequence
+
+    params, extra = ckpt.load_params(args.checkpoint)
+    meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
+    vocab_size = int(meta.get("vocab_size", 10000))
+    idx_to_token = meta.get("idx_to_token", {})
+    cfg = DenseCapConfig(
+        vocab_size=vocab_size,
+        seq_length=int(meta.get("seq_length", 15)),
+        image_size=args.image_size,
+        test_rpn_nms_thresh=args.rpn_nms_thresh,
+        test_final_nms_thresh=args.final_nms_thresh,
+        test_max_proposals=args.num_proposals,
+    )
+
+    fwd = jax.jit(
+        lambda p, im, h, w: densecap.forward_test(
+            p, im, h, w, cfg, use_beam=args.beam_size
+        )
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    results = []
+    for path in get_input_images(args):
+        rgb = load_image(path)
+        canvas, h, w, scale = preprocess_for_model(rgb, args.image_size)
+        out = fwd(params, jnp.asarray(canvas), jnp.float32(h),
+                  jnp.float32(w))
+        valid = np.asarray(out.valid)
+        boxes = np.asarray(out.boxes)[valid]
+        scores = np.asarray(out.scores)[valid]
+        captions = decode_sequence(
+            np.asarray(out.captions)[valid], idx_to_token, vocab_size
+        )
+        # canvas coords -> original image coords, xywh (run_model.lua:78)
+        boxes_xywh = np.asarray(xcycwh_to_xywh(jnp.asarray(boxes)))
+        boxes_xywh[:, :2] = (boxes_xywh[:, :2] - 1) / scale + 1
+        boxes_xywh[:, 2:] = boxes_xywh[:, 2:] / scale
+
+        result = {
+            "img_name": os.path.basename(path),
+            "boxes": boxes_xywh.tolist(),
+            "scores": scores.tolist(),
+            "captions": captions,
+        }
+        results.append(result)
+        print(f"{path}: {len(boxes)} regions")
+
+        if args.output_images:
+            from ..utils.vis import densecap_draw
+
+            k = min(args.boxes_to_show, len(boxes_xywh))
+            baked = densecap_draw(rgb, boxes_xywh[:k], captions[:k])
+            from PIL import Image
+
+            outp = os.path.join(
+                args.output_dir,
+                os.path.splitext(os.path.basename(path))[0] + "_boxes.png",
+            )
+            Image.fromarray(baked).save(outp)
+
+    if args.output_vis:
+        with open(os.path.join(args.output_dir, "results.json"), "w") as f:
+            json.dump({"results": results}, f)
+        print(f"wrote {args.output_dir}/results.json")
+
+
+if __name__ == "__main__":
+    main()

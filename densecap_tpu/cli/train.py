@@ -1,0 +1,216 @@
+"""Training CLI (reference train.lua + train_opts.lua).
+
+Differences from the reference, by design:
+  * batched + data-parallel over a device mesh (the reference is one
+    image on one GPU);
+  * checkpoints carry optimizer state (the reference dropped adam m/v,
+    train.lua:114-115) via orbax, plus a light .npz of params for the
+    inference CLIs;
+  * the loss-explosion watchdog, loss history json, periodic eval and
+    best-mAP snapshotting match the reference behavior
+    (train.lua:133-208).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    # data
+    p.add_argument("--data_h5", default="data/VG-regions.h5")
+    p.add_argument("--data_json", default="data/VG-regions-dicts.json")
+    p.add_argument("--max_gt_boxes", type=int, default=128)
+    # model/loss (train_opts.lua defaults)
+    p.add_argument("--rpn_hidden_dim", type=int, default=512)
+    p.add_argument("--sampler_batch_size", type=int, default=256)
+    p.add_argument("--sampler_high_thresh", type=float, default=0.7)
+    p.add_argument("--sampler_low_thresh", type=float, default=0.3)
+    p.add_argument("--train_remove_outbounds_boxes", type=int, default=1)
+    p.add_argument("--mid_box_reg_weight", type=float, default=0.05)
+    p.add_argument("--mid_objectness_weight", type=float, default=0.1)
+    p.add_argument("--end_box_reg_weight", type=float, default=0.1)
+    p.add_argument("--end_objectness_weight", type=float, default=0.1)
+    p.add_argument("--captioning_weight", type=float, default=1.0)
+    p.add_argument("--weight_decay", type=float, default=1e-6)
+    p.add_argument("--box_reg_decay", type=float, default=5e-5)
+    p.add_argument("--rnn_size", type=int, default=512)
+    p.add_argument("--input_encoding_size", type=int, default=512)
+    p.add_argument("--drop_prob", type=float, default=0.5)
+    # optimization
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--optim_beta1", type=float, default=0.9)
+    p.add_argument("--optim_beta2", type=float, default=0.999)
+    p.add_argument("--optim_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_iters", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="images per step (global, sharded over 'data')")
+    p.add_argument("--finetune_cnn_after", type=int, default=-1)
+    p.add_argument("--checkpoint_start_from", default="")
+    # eval / checkpointing
+    p.add_argument("--val_images_use", type=int, default=1000)
+    p.add_argument("--save_checkpoint_every", type=int, default=10000)
+    p.add_argument("--checkpoint_path", default="checkpoints/densecap")
+    p.add_argument("--losses_log_every", type=int, default=10)
+    p.add_argument("--eval_first_iteration", type=int, default=0)
+    # misc
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--timing", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from ..config import DenseCapConfig
+    from ..data.loader import DenseCapLoader, PrefetchingLoader
+    from ..eval.eval_split import eval_split
+    from ..parallel import mesh as meshlib
+    from ..parallel import train_step as ts
+    from ..utils import checkpoint as ckpt
+    from ..utils.profiling import StageTimer
+
+    loader = DenseCapLoader(args.data_h5, args.data_json,
+                            max_gt_boxes=args.max_gt_boxes)
+    cfg = DenseCapConfig(
+        vocab_size=loader.vocab_size(),
+        seq_length=loader.seq_length(),
+        image_size=loader.canvas,
+        rpn_num_filters=256,
+        sampler_batch_size=args.sampler_batch_size,
+        sampler_high_thresh=args.sampler_high_thresh,
+        sampler_low_thresh=args.sampler_low_thresh,
+        train_remove_outbounds_boxes=bool(args.train_remove_outbounds_boxes),
+        mid_box_reg_weight=args.mid_box_reg_weight,
+        mid_objectness_weight=args.mid_objectness_weight,
+        end_box_reg_weight=args.end_box_reg_weight,
+        end_objectness_weight=args.end_objectness_weight,
+        captioning_weight=args.captioning_weight,
+        weight_decay=args.weight_decay,
+        box_reg_decay=args.box_reg_decay,
+        rnn_size=args.rnn_size,
+        rnn_encoding_size=args.input_encoding_size,
+        drop_prob=args.drop_prob,
+        max_gt_boxes=args.max_gt_boxes,
+    )
+    print(f"vocab_size={cfg.vocab_size} seq_length={cfg.seq_length}")
+
+    mesh = meshlib.make_mesh(model_parallel=args.model_parallel)
+    key = jax.random.PRNGKey(args.seed)
+    state, tx = ts.init_state(
+        key, cfg, learning_rate=args.learning_rate,
+        beta1=args.optim_beta1, beta2=args.optim_beta2,
+        eps=args.optim_epsilon,
+    )
+    if args.checkpoint_start_from:
+        state = ckpt.load_train_state(args.checkpoint_start_from, state)
+        print(f"resumed from {args.checkpoint_start_from} "
+              f"at step {int(state.step)}")
+    state = state._replace(params=meshlib.shard_params(state.params, mesh))
+
+    prefetch = PrefetchingLoader(loader, args.batch_size, split=0)
+    meta = json.dumps({
+        "vocab_size": cfg.vocab_size,
+        "seq_length": cfg.seq_length,
+        "idx_to_token": loader.info["idx_to_token"],
+    })
+
+    loss_history = {}
+    results_history = {}
+    best_val_score = -1.0
+    loss0 = None
+    timer = StageTimer(enabled=bool(args.timing))
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    it = int(state.step)
+    while args.max_iters < 0 or it < args.max_iters:
+        with timer.stage("data"):
+            batch_np = prefetch.next()
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batch_np.items()
+                if k in ("image", "height", "width", "gt_boxes",
+                         "gt_labels", "gt_valid")
+            }
+            batch = meshlib.shard_batch(batch, mesh)
+        if (args.finetune_cnn_after >= 0
+                and it >= args.finetune_cnn_after
+                and not bool(state.finetune_cnn)):
+            state = state._replace(finetune_cnn=jnp.ones((), bool))
+            print("enabling CNN finetuning")
+
+        rng, sub = jax.random.split(rng)
+        with timer.stage("step"):
+            state, losses = ts.train_step(state, batch, sub, cfg, tx)
+            if args.timing:
+                jax.block_until_ready(losses["total_loss"])
+        it = int(state.step)
+
+        total = float(losses["total_loss"])
+        if it % args.losses_log_every == 0:
+            loss_history[it] = {k: float(v) for k, v in losses.items()}
+            print(f"iter {it}: {json.dumps(loss_history[it])}")
+            if args.timing:
+                print(timer.report())
+
+        # loss explosion watchdog (train.lua:203-208)
+        if loss0 is None:
+            loss0 = total
+        if total > 100 * loss0:
+            raise SystemExit(
+                f"loss exploded ({total} > 100 x {loss0}); aborting"
+            )
+
+        do_eval = (
+            it % args.save_checkpoint_every == 0
+            or (args.eval_first_iteration and it == 1)
+            or (0 < args.max_iters == it)
+        )
+        if do_eval:
+            results = eval_split(
+                state.params, loader, cfg, split=1,
+                max_images=args.val_images_use, verbose=False,
+            )
+            map_score = results["ap_results"]["map"]
+            results_history[it] = {
+                "loss_results": results["loss_results"],
+                "map": map_score,
+            }
+            print(f"iter {it}: val mAP {100 * map_score:.4f}")
+
+            os.makedirs(os.path.dirname(args.checkpoint_path) or ".",
+                        exist_ok=True)
+            with open(args.checkpoint_path + ".json", "w") as f:
+                json.dump({
+                    "opt": vars(args),
+                    "iter": it,
+                    "loss_history": loss_history,
+                    "results_history": results_history,
+                }, f)
+
+            if map_score > best_val_score:
+                best_val_score = map_score
+                ckpt.save_params(
+                    args.checkpoint_path + ".npz", state.params,
+                    extra={"meta": meta},
+                )
+                ckpt.save_train_state(
+                    os.path.dirname(args.checkpoint_path) or ".", state
+                )
+                print(f"saved checkpoint to {args.checkpoint_path}.npz")
+
+    prefetch.close()
+
+
+if __name__ == "__main__":
+    main()

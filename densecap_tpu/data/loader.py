@@ -1,0 +1,173 @@
+"""Host-side dataset loader producing padded, fixed-shape device batches.
+
+Re-design of reference densecap/DataLoader.lua for a batched TPU input
+pipeline: where the reference returns ONE image with its exact region
+count per step (DataLoader.lua:144-217, forcing the model's N == 1
+restriction), this loader pads everything to static shapes:
+
+  * image: the full S x S canvas from the h5 (the reference crops to the
+    true extent; we keep the canvas — one compiled program),
+  * gt boxes/labels: padded to max_gt_boxes with a validity mask
+    (uniformly subsampled when an image has more — the sampler only
+    needs IoU targets, so subsampling changes nothing but tail regions),
+  * batches of B images for data-parallel training.
+
+A double-buffered background thread hides h5 read + VGG-mean subtract
+behind device compute (replacing the reference's synchronous
+getBatch-in-the-train-loop, train.lua:71-75).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+
+import numpy as np
+
+from ..config import VGG_MEAN_BGR
+
+
+class DenseCapLoader:
+    """Reads the preprocessed HDF5 + dicts json (schema: preprocess.py)."""
+
+    def __init__(self, h5_path, json_path, max_gt_boxes=128, seed=0):
+        import h5py
+
+        self.h5 = h5py.File(h5_path, "r")
+        with open(json_path) as f:
+            self.info = json.load(f)
+        self.max_gt_boxes = max_gt_boxes
+        self.rng = np.random.RandomState(seed)
+
+        # index arrays in RAM (DataLoader.lua:29-43)
+        self.image_heights = self.h5["image_heights"][:]
+        self.image_widths = self.h5["image_widths"][:]
+        self.original_heights = self.h5["original_heights"][:]
+        self.original_widths = self.h5["original_widths"][:]
+        self.boxes = self.h5["boxes"][:].astype(np.float32)
+        self.labels = self.h5["labels"][:].astype(np.int32)
+        self.img_to_first_box = self.h5["img_to_first_box"][:]
+        self.img_to_last_box = self.h5["img_to_last_box"][:]
+        split = self.h5["split"][:]
+        self.split_ix = {
+            s: np.nonzero(split == s)[0] for s in (0, 1, 2)
+        }
+        self.iterators = {0: 0, 1: 0, 2: 0}
+        self.num_channels = 3
+        self.canvas = self.h5["images"].shape[2]
+        self.vgg_mean = np.asarray(VGG_MEAN_BGR, dtype=np.float32
+                                   ).reshape(3, 1, 1)
+
+    # -- reference API surface (DataLoader.lua:90-106) -------------------
+    def vocab_size(self):
+        return len(self.info["token_to_idx"])
+
+    def seq_length(self):
+        return self.labels.shape[1]
+
+    def idx_to_token(self):
+        return {int(k): v for k, v in self.info["idx_to_token"].items()}
+
+    def reset_iterator(self, split):
+        self.iterators[split] = 0
+
+    def split_size(self, split):
+        return len(self.split_ix[split])
+
+    # --------------------------------------------------------------------
+    def _load_image(self, ix):
+        """Canvas image (S, S, 3) float32 HWC BGR, mean-subtracted."""
+        chw = self.h5["images"][ix].astype(np.float32)  # (3, S, S) BGR
+        chw -= self.vgg_mean
+        return chw.transpose(1, 2, 0)
+
+    def get_example(self, split=0, iterate=True):
+        """One padded example dict (host numpy)."""
+        ix_list = self.split_ix[split]
+        assert len(ix_list), "split is empty"
+        if iterate:
+            ri = self.iterators[split]
+            self.iterators[split] = (ri + 1) % len(ix_list)
+        else:
+            ri = self.rng.randint(len(ix_list))
+        ix = int(ix_list[ri])
+
+        img = self._load_image(ix)
+        h = float(self.image_heights[ix])
+        w = float(self.image_widths[ix])
+
+        r0 = int(self.img_to_first_box[ix]) - 1  # 1-indexed inclusive
+        r1 = int(self.img_to_last_box[ix])
+        boxes = self.boxes[r0:r1]
+        labels = self.labels[r0:r1]
+        G = self.max_gt_boxes
+        n = len(boxes)
+        if n > G:
+            keep = self.rng.choice(n, G, replace=False)
+            keep.sort()
+            boxes, labels = boxes[keep], labels[keep]
+            n = G
+        gt_boxes = np.zeros((G, 4), np.float32)
+        gt_labels = np.zeros((G, self.seq_length()), np.int32)
+        gt_boxes[:n] = boxes
+        gt_labels[:n] = labels
+        gt_valid = np.arange(G) < n
+
+        return {
+            "image": img,
+            "height": np.float32(h),
+            "width": np.float32(w),
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+            "gt_valid": gt_valid,
+            "ix": ix,
+            "filename": self.info["idx_to_filename"].get(str(ix + 1)),
+            "split_pos": (ri, len(ix_list)),
+        }
+
+    def get_batch(self, batch_size=1, split=0, iterate=True):
+        """Stacked batch of padded examples."""
+        exs = [self.get_example(split, iterate) for _ in range(batch_size)]
+        batch = {
+            k: np.stack([e[k] for e in exs])
+            for k in ("image", "height", "width", "gt_boxes", "gt_labels",
+                      "gt_valid")
+        }
+        batch["ix"] = [e["ix"] for e in exs]
+        batch["filename"] = [e["filename"] for e in exs]
+        return batch
+
+
+class PrefetchingLoader:
+    """Background-thread batch prefetcher (depth-2 pipeline)."""
+
+    def __init__(self, loader: DenseCapLoader, batch_size, split=0,
+                 iterate=True, depth=2):
+        self.loader = loader
+        self.q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                batch = loader.get_batch(batch_size, split, iterate)
+                while not self._stop.is_set():
+                    try:
+                        self.q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def next(self):
+        return self.q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

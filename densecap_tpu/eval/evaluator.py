@@ -1,0 +1,154 @@
+"""Dense-captioning mAP evaluator.
+
+Port of the reference DenseCaptioningEvaluator (eval/eval_utils.lua:
+137-312), host-side numpy (this runs off the TPU hot path, once per
+eval):
+
+  * ground-truth boxes merged at pascal-IoU >= 0.7 into multi-reference
+    groups (merge_boxes, box_utils.lua:590);
+  * detections sorted by objectness logprob; each greedily assigned its
+    best-IoU merged gt (first assignment wins, 'ok' flag);
+  * AP computed over the 5 x 6 grid of IoU thresholds {0.3..0.7} and
+    caption-score thresholds {0, 0.05, .., 0.25}, with 101-point
+    max-interpolated precision; mAP = mean over the grid. A detection
+    AP ('detmap') uses score threshold -1 (caption ignored).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.boxes import merge_boxes
+from . import meteor
+
+MIN_OVERLAPS = (0.3, 0.4, 0.5, 0.6, 0.7)
+MIN_SCORES = (-1, 0, 0.05, 0.1, 0.15, 0.2, 0.25)
+
+
+def _xcycwh_to_xyxy(b):
+    b = np.asarray(b, dtype=np.float64)
+    off = (b[:, 2:4] - 1) / 2.0
+    return np.concatenate([b[:, :2] - off, b[:, :2] + off], axis=1)
+
+
+def _pascal_iou_one_vs_many(bb, others):
+    xx1 = np.maximum(bb[0], others[:, 0])
+    yy1 = np.maximum(bb[1], others[:, 1])
+    xx2 = np.minimum(bb[2], others[:, 2])
+    yy2 = np.minimum(bb[3], others[:, 3])
+    iw = np.maximum(xx2 - xx1 + 1, 0)
+    ih = np.maximum(yy2 - yy1 + 1, 0)
+    inter = iw * ih
+    a1 = (bb[2] - bb[0] + 1) * (bb[3] - bb[1] + 1)
+    a2 = (others[:, 2] - others[:, 0] + 1) * (others[:, 3] - others[:, 1] + 1)
+    return inter / (a1 + a2 - inter)
+
+
+class DenseCaptioningEvaluator:
+    def __init__(self, id=""):
+        self.all_logprobs = []
+        self.records = []
+        self.n = 1
+        self.npos = 0
+        self.id = id
+
+    def add_result(self, logprobs, boxes, text, target_boxes, target_text):
+        """One image's detections vs ground truth.
+
+        logprobs: (B,) or (B, 1) objectness scores; boxes: (B, 4) xcycwh;
+        text: list of B caption strings; target_boxes: (M, 4) xcycwh;
+        target_text: list of M reference strings.
+        """
+        logprobs = np.asarray(logprobs, dtype=np.float64).reshape(-1)
+        boxes = _xcycwh_to_xyxy(boxes)
+        target_boxes = _xcycwh_to_xyxy(target_boxes)
+        assert len(logprobs) == len(boxes) == len(text)
+        assert len(target_boxes) == len(target_text)
+
+        groups = merge_boxes(target_boxes, 0.7)
+        merged_boxes = np.stack(
+            [target_boxes[g].mean(axis=0) for g in groups]
+        ) if groups else np.zeros((0, 4))
+        merged_text = [[target_text[j] for j in g] for g in groups]
+
+        order = np.argsort(-logprobs, kind="stable")
+        nt = len(merged_boxes)
+        used = np.zeros(nt, dtype=bool)
+        for ii in order:
+            bb = boxes[ii]
+            if nt:
+                ious = _pascal_iou_one_vs_many(bb, merged_boxes)
+                jmax = int(np.argmax(ious))
+                ovmax = float(ious[jmax])
+                if ovmax <= 0:
+                    jmax = -1
+            else:
+                jmax, ovmax = -1, 0.0
+            ok = 1
+            if jmax >= 0 and not used[jmax]:
+                used[jmax] = True
+            else:
+                ok = 0
+            self.records.append({
+                "ok": ok,
+                "ov": ovmax,
+                "candidate": text[ii],
+                "references": merged_text[jmax] if jmax >= 0 else [],
+                "imgid": self.n,
+            })
+        self.n += 1
+        self.npos += nt
+        self.all_logprobs.append(np.sort(logprobs)[::-1])
+
+    def num_added(self):
+        return self.n - 1
+
+    def evaluate(self, verbose=False):
+        logprobs = np.concatenate(self.all_logprobs) if self.all_logprobs \
+            else np.zeros(0)
+        blob = meteor.score_captions(self.records)
+        scores = blob["scores"]
+
+        order = np.argsort(-logprobs, kind="stable")
+        n = len(order)
+        recs = self.records
+
+        ap_results, det_results = {}, {}
+        for min_overlap in MIN_OVERLAPS:
+            for min_score in MIN_SCORES:
+                tp = np.zeros(n)
+                fp = np.zeros(n)
+                for rank, ii in enumerate(order):
+                    r = recs[ii]
+                    if not r["references"]:
+                        fp[rank] = 1
+                    elif (r["ov"] >= min_overlap and r["ok"] == 1
+                          and scores[ii] > min_score):
+                        tp[rank] = 1
+                    else:
+                        fp[rank] = 1
+                fp = np.cumsum(fp)
+                tp = np.cumsum(tp)
+                rec = tp / max(self.npos, 1)
+                prec = tp / np.maximum(fp + tp, 1e-12)
+
+                # 101-point max-interpolated AP (eval_utils.lua:289-299)
+                ap = 0.0
+                for t in np.arange(0, 1.0001, 0.01):
+                    mask = rec >= t
+                    ap += float(prec[mask].max()) if mask.any() else 0.0
+                ap /= 101.0
+
+                if min_score == -1:
+                    det_results[f"ov{min_overlap}"] = ap
+                else:
+                    ap_results[f"ov{min_overlap}_score{min_score}"] = ap
+
+        mean = lambda d: float(np.mean(list(d.values()))) if d else 0.0
+        return {
+            "map": mean(ap_results),
+            "ap_breakdown": ap_results,
+            "detmap": mean(det_results),
+            "det_breakdown": det_results,
+            "score_method": blob["method"],
+        }

@@ -1,0 +1,119 @@
+"""Caption scoring: METEOR 1.5 jar bridge with a pure-python fallback.
+
+The reference shells out Lua -> python -> Java METEOR via JSON files
+(eval/eval_utils.lua:94-102, eval/meteor_bridge.py:14-54). We keep the
+same contract — records in, parallel list of scores out — but run the
+jar behind a persistent subprocess when available, and otherwise fall
+back to a METEOR-flavoured unigram matcher so evaluation runs
+end-to-end on machines without Java/the jar (scores then are NOT
+comparable to published METEOR numbers; the mAP pipeline and thresholds
+are unchanged).
+
+Record format (eval_utils.lua:208-215): each record has 'candidate'
+(string) and 'references' (list of strings); score is the max over
+references, 0 if references is empty.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from collections import Counter
+
+METEOR_JAR_CANDIDATES = (
+    "eval/meteor/meteor-1.5.jar",
+    os.path.expanduser("~/meteor-1.5.jar"),
+)
+
+
+def _find_meteor_jar():
+    if not shutil.which("java"):
+        return None
+    for p in METEOR_JAR_CANDIDATES:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _fallback_pair_score(candidate: str, reference: str) -> float:
+    """Unigram harmonic-mean matcher in the spirit of METEOR's base
+    measure: P/R over unigram matches with recall-weighted F (alpha=0.9),
+    without the synonym/stem modules or fragmentation penalty."""
+    c = candidate.split()
+    r = reference.split()
+    if not c or not r:
+        return 0.0
+    overlap = sum((Counter(c) & Counter(r)).values())
+    if overlap == 0:
+        return 0.0
+    p = overlap / len(c)
+    rr = overlap / len(r)
+    alpha = 0.9
+    return p * rr / (alpha * p + (1 - alpha) * rr)
+
+
+def score_captions_fallback(records):
+    scores = []
+    for rec in records:
+        refs = rec.get("references") or []
+        cand = rec.get("candidate", "")
+        scores.append(
+            max((_fallback_pair_score(cand, r) for r in refs), default=0.0)
+        )
+    return scores
+
+
+def score_captions_meteor(records, jar):
+    """Batch-score via one Java METEOR process in stdio mode.
+
+    METEOR's stdio protocol: lines 'SCORE ||| ref ||| cand' then
+    'EVAL ||| stats'; we use the simpler file mode: write candidate and
+    reference files and parse 'Segment ... score:' lines. Each record's
+    score is the max over its references, matching the bridge behavior.
+    """
+    import tempfile
+
+    # expand: one (cand, ref) pair per line; track record ownership
+    pairs, owner = [], []
+    for i, rec in enumerate(records):
+        for ref in rec.get("references") or []:
+            pairs.append((rec.get("candidate", ""), ref))
+            owner.append(i)
+    scores = [0.0] * len(records)
+    if not pairs:
+        return scores
+
+    with tempfile.TemporaryDirectory() as td:
+        tst = os.path.join(td, "cand.txt")
+        ref = os.path.join(td, "ref.txt")
+        with open(tst, "w") as ft, open(ref, "w") as fr:
+            for c, r in pairs:
+                ft.write(c.replace("\n", " ") + "\n")
+                fr.write(r.replace("\n", " ") + "\n")
+        out = subprocess.run(
+            ["java", "-Xmx2G", "-jar", jar, tst, ref, "-l", "en",
+             "-norm"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        seg = [
+            float(line.split()[-1])
+            for line in out.splitlines()
+            if line.startswith("Segment ") and "score:" in line
+        ]
+    for s, i in zip(seg, owner):
+        scores[i] = max(scores[i], s)
+    return scores
+
+
+def score_captions(records):
+    """Score records; returns {'scores': [...], 'method': 'meteor'|'fallback'}."""
+    jar = _find_meteor_jar()
+    if jar is not None:
+        try:
+            return {"scores": score_captions_meteor(records, jar),
+                    "method": "meteor"}
+        except Exception as e:  # pragma: no cover - depends on env
+            print(f"METEOR jar failed ({e}); using fallback scorer")
+    return {"scores": score_captions_fallback(records),
+            "method": "fallback"}

@@ -1,0 +1,38 @@
+"""Image loading + model preprocessing (reference run_model.lua:64-87).
+
+Pipeline: load RGB -> scale so the longest edge is image_size -> BGR,
+0..255 -> subtract VGG mean -> place top-left on a zero S x S canvas
+(fixed shape for one compiled program; the padding region is masked out
+downstream via the true (h, w))."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import VGG_MEAN_BGR
+
+
+def load_image(path):
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def preprocess_for_model(rgb, image_size=720):
+    """(H0, W0, 3) uint8 RGB -> (canvas, h, w, scale).
+
+    canvas: (S, S, 3) float32 HWC BGR mean-subtracted; h, w: true extent
+    on the canvas; scale: original -> canvas coordinate factor.
+    """
+    from PIL import Image
+
+    H0, W0 = rgb.shape[:2]
+    scale = float(image_size) / max(H0, W0)
+    H, W = round(H0 * scale), round(W0 * scale)
+    im = Image.fromarray(rgb).resize((W, H), Image.BILINEAR)
+    arr = np.asarray(im, dtype=np.float32)[:, :, ::-1]  # BGR, 0..255
+    arr = arr - np.asarray(VGG_MEAN_BGR, dtype=np.float32)
+    canvas = np.zeros((image_size, image_size, 3), dtype=np.float32)
+    canvas[:H, :W] = arr
+    return canvas, float(H), float(W), scale

@@ -1,0 +1,153 @@
+"""Data pipeline tests: preprocess -> h5 schema -> loader -> batches,
+on a synthetic mini Visual Genome."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from densecap_tpu.data import preprocess as pp
+from densecap_tpu.data.loader import DenseCapLoader
+
+
+@pytest.fixture(scope="module")
+def mini_vg(tmp_path_factory):
+    """4 images with regions, densecap-style region JSON + split file."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mini_vg")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    data = []
+    for i in range(4):
+        img_id = 100 + i
+        H0, W0 = 96 + 8 * i, 128
+        arr = rng.randint(0, 255, (H0, W0, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{img_id}.jpg")
+        regions = [
+            {"phrase": "a red cat sitting", "x": 10, "y": 10,
+             "width": 40, "height": 30},
+            {"phrase": "the Big--- DOG!", "x": 50, "y": 20,
+             "width": 30, "height": 40},
+            {"phrase": " ".join(["word"] * 30), "x": 1, "y": 1,
+             "width": 10, "height": 10},  # too long -> dropped
+        ]
+        data.append({"id": img_id, "regions": regions})
+    with open(root / "regions.json", "w") as f:
+        json.dump(data, f)
+    with open(root / "splits.json", "w") as f:
+        json.dump({"train": [100, 101], "val": [102], "test": [103]}, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def built(mini_vg):
+    h5_out = str(mini_vg / "out.h5")
+    json_out = str(mini_vg / "out.json")
+    pp.main([
+        "--region_data", str(mini_vg / "regions.json"),
+        "--image_dir", str(mini_vg / "images"),
+        "--split_json", str(mini_vg / "splits.json"),
+        "--h5_output", h5_out,
+        "--json_output", json_out,
+        "--image_size", "64",
+        "--max_token_length", "6",
+        "--min_token_instances", "1",
+        "--num_workers", "2",
+    ])
+    return h5_out, json_out
+
+
+def test_words_preprocess():
+    assert pp.words_preprocess("The Big--- DOG!") == ["the", "big", "dog"]
+    assert pp.words_preprocess("½ of it… é") == ["half", "of", "it", "e"]
+
+
+def test_h5_schema(built):
+    import h5py
+
+    h5_out, json_out = built
+    with h5py.File(h5_out) as h5:
+        assert h5["images"].shape == (4, 3, 64, 64)
+        assert h5["images"].dtype == np.uint8
+        n_boxes = h5["boxes"].shape[0]
+        assert n_boxes == 8  # 2 kept regions x 4 images
+        assert h5["boxes"].shape == (8, 4)
+        assert h5["labels"].shape[0] == 8
+        assert h5["labels"].shape[1] == 6
+        first = h5["img_to_first_box"][:]
+        last = h5["img_to_last_box"][:]
+        assert list(first) == [1, 3, 5, 7]
+        assert list(last) == [2, 4, 6, 8]
+        assert list(h5["split"][:]) == [0, 0, 1, 2]
+        assert list(h5["box_to_img"][:]) == [1, 1, 2, 2, 3, 3, 4, 4]
+        # boxes are inside the canvas, 1-indexed xcycwh
+        b = h5["boxes"][:]
+        assert (b[:, 2] > 0).all() and (b[:, 3] > 0).all()
+        hw = h5["image_widths"][:]
+        assert (hw == 64).all()  # width is the long edge
+
+    with open(json_out) as f:
+        info = json.load(f)
+    assert set(info) == {"token_to_idx", "idx_to_token",
+                         "filename_to_idx", "idx_to_filename"}
+    # vocab is 1-indexed and contains our words
+    assert "cat" in info["token_to_idx"]
+    assert min(info["token_to_idx"].values()) == 1
+
+
+def test_loader_examples_and_batches(built):
+    h5_out, json_out = built
+    loader = DenseCapLoader(h5_out, json_out, max_gt_boxes=5)
+    assert loader.vocab_size() > 0
+    assert loader.seq_length() == 6
+    assert loader.split_size(0) == 2
+    assert loader.split_size(1) == 1
+
+    ex = loader.get_example(split=0)
+    assert ex["image"].shape == (64, 64, 3)
+    assert ex["image"].dtype == np.float32
+    assert ex["gt_boxes"].shape == (5, 4)
+    assert ex["gt_labels"].shape == (5, 6)
+    assert ex["gt_valid"].sum() == 2
+    assert ex["height"] <= 64 and ex["width"] == 64
+
+    batch = loader.get_batch(batch_size=2, split=0)
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["gt_boxes"].shape == (2, 5, 4)
+
+    # iterator wraps around deterministically
+    loader.reset_iterator(0)
+    a = loader.get_example(split=0)["ix"]
+    b = loader.get_example(split=0)["ix"]
+    c = loader.get_example(split=0)["ix"]
+    assert a != b and c == a
+
+
+def test_loader_subsamples_excess_gt(built):
+    h5_out, json_out = built
+    loader = DenseCapLoader(h5_out, json_out, max_gt_boxes=1)
+    ex = loader.get_example(split=0)
+    assert ex["gt_valid"].sum() == 1
+
+
+def test_mean_subtraction(built):
+    h5_out, json_out = built
+    loader = DenseCapLoader(h5_out, json_out)
+    ex = loader.get_example(split=0)
+    img = ex["image"]
+    # mean-subtracted uint8 range
+    assert img.min() >= -255 and img.max() <= 255
+    # padded rows (beyond true height) must equal -vgg_mean
+    h = int(ex["height"])
+    if h < 64:
+        pad_row = img[h:, :, :]
+        expect = -loader.vgg_mean.reshape(1, 1, 3)[:, :, ::-1]
+        # loader keeps HWC BGR: channel c mean = VGG_MEAN_BGR[c]
+        np.testing.assert_allclose(
+            pad_row, np.broadcast_to(
+                -loader.vgg_mean.transpose(1, 2, 0), pad_row.shape
+            ), atol=1e-5,
+        )
