@@ -1,0 +1,169 @@
+"""ctypes bindings for the native runtime (native/dcio.cpp, dcgeom.cpp).
+
+Libraries are built on demand with `make -C native` the first time they
+are requested; callers fall back to pure-python paths when no compiler
+is available (is_available() gates that)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_lock = threading.Lock()
+_libs = {}
+
+
+def _load(name):
+    with _lock:
+        if name in _libs:
+            return _libs[name]
+        so = os.path.join(_NATIVE_DIR, f"lib{name}.so")
+        if not os.path.exists(so):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, f"lib{name}.so"],
+                    check=True, capture_output=True,
+                )
+            except Exception:
+                _libs[name] = None
+                return None
+        try:
+            _libs[name] = ctypes.CDLL(so)
+        except OSError:
+            _libs[name] = None
+        return _libs[name]
+
+
+def is_available(name="dcgeom"):
+    return _load(name) is not None
+
+
+# ---------------------------------------------------------------------------
+# dcgeom
+# ---------------------------------------------------------------------------
+
+def _geom():
+    lib = _load("dcgeom")
+    if lib is None:
+        raise RuntimeError("libdcgeom.so unavailable")
+    return lib
+
+
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def iou_matrix(boxes1, boxes2):
+    lib = _geom()
+    b1 = np.ascontiguousarray(boxes1, np.float32)
+    b2 = np.ascontiguousarray(boxes2, np.float32)
+    out = np.empty((len(b1), len(b2)), np.float32)
+    lib.dcgeom_iou_matrix(
+        b1.ctypes.data_as(ctypes.c_void_p), len(b1),
+        b2.ctypes.data_as(ctypes.c_void_p), len(b2),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def nms(boxes, scores, thresh, max_out=None):
+    lib = _geom()
+    b = np.ascontiguousarray(boxes, np.float32)
+    s = np.ascontiguousarray(scores, np.float32)
+    n = len(b)
+    k = n if max_out is None else int(max_out)
+    pick = np.empty(n, np.int32)
+    kept = lib.dcgeom_nms(
+        b.ctypes.data_as(ctypes.c_void_p),
+        s.ctypes.data_as(ctypes.c_void_p),
+        n, ctypes.c_float(thresh), k,
+        pick.ctypes.data_as(ctypes.c_void_p),
+    )
+    return pick[:kept].copy()
+
+
+def assign(det_boxes_sorted, gt_boxes):
+    """Greedy evaluator assignment; det boxes must be score-sorted."""
+    lib = _geom()
+    d = np.ascontiguousarray(det_boxes_sorted, np.float32)
+    g = np.ascontiguousarray(gt_boxes, np.float32)
+    nd, nt = len(d), len(g)
+    ov = np.empty(nd, np.float32)
+    asg = np.empty(nd, np.int32)
+    ok = np.empty(nd, np.int32)
+    lib.dcgeom_assign(
+        d.ctypes.data_as(ctypes.c_void_p), nd,
+        g.ctypes.data_as(ctypes.c_void_p), nt,
+        ov.ctypes.data_as(ctypes.c_void_p),
+        asg.ctypes.data_as(ctypes.c_void_p),
+        ok.ctypes.data_as(ctypes.c_void_p),
+    )
+    return ov, asg, ok
+
+
+def merge_boxes(boxes, thr):
+    """Greedy IoU clustering; returns list of index arrays (greedy order)."""
+    lib = _geom()
+    b = np.ascontiguousarray(boxes, np.float32)
+    n = len(b)
+    gid = np.empty(n, np.int32)
+    ng = lib.dcgeom_merge_boxes(
+        b.ctypes.data_as(ctypes.c_void_p), n, ctypes.c_float(thr),
+        gid.ctypes.data_as(ctypes.c_void_p),
+    )
+    return [np.nonzero(gid == g)[0] for g in range(ng)]
+
+
+# ---------------------------------------------------------------------------
+# dcio
+# ---------------------------------------------------------------------------
+
+def load_batch(paths, canvas_size, mean_bgr, num_threads=8):
+    """Decode+preprocess a batch of JPEGs natively.
+
+    Returns (canvases (n, S, S, 3) f32 BGR mean-sub, heights, widths,
+    ok_count)."""
+    lib = _load("dcio")
+    if lib is None:
+        raise RuntimeError("libdcio.so unavailable")
+    n = len(paths)
+    S = canvas_size
+    canv = np.zeros((n, S, S, 3), np.float32)
+    hts = np.zeros(n, np.float32)
+    wds = np.zeros(n, np.float32)
+    mean = np.asarray(mean_bgr, np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    ok = lib.dcio_load_batch(
+        arr, n, S,
+        mean.ctypes.data_as(ctypes.c_void_p),
+        canv.ctypes.data_as(ctypes.c_void_p),
+        hts.ctypes.data_as(ctypes.c_void_p),
+        wds.ctypes.data_as(ctypes.c_void_p),
+        int(num_threads),
+    )
+    return canv, hts, wds, ok
+
+
+def decode_jpeg(path):
+    """Decode one JPEG to (H, W, 3) uint8 RGB, or None on failure."""
+    lib = _load("dcio")
+    if lib is None:
+        raise RuntimeError("libdcio.so unavailable")
+    max_bytes = 8192 * 8192 * 3
+    buf = np.empty(max_bytes, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ret = lib.dcio_decode_jpeg(
+        path.encode(), buf.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(max_bytes), ctypes.byref(h), ctypes.byref(w),
+    )
+    if not ret:
+        return None
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()

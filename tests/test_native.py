@@ -1,0 +1,124 @@
+"""Native runtime tests: C++ geometry vs the jnp/numpy references, and
+the C++ JPEG pipeline vs PIL."""
+
+import numpy as np
+import pytest
+
+from densecap_tpu import native_lib
+
+pytestmark = pytest.mark.skipif(
+    not native_lib.is_available("dcgeom"),
+    reason="native toolchain unavailable",
+)
+
+
+def _random_boxes(n, seed=0):
+    rng = np.random.RandomState(seed)
+    xy = rng.uniform(1, 100, size=(n, 2))
+    wh = rng.uniform(1, 60, size=(n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+def test_iou_matrix_matches_jnp():
+    from densecap_tpu.ops.boxes import iou_pascal
+
+    b1, b2 = _random_boxes(40, 0), _random_boxes(30, 1)
+    native = native_lib.iou_matrix(b1, b2)
+    ref = np.asarray(iou_pascal(b1.astype(np.float64),
+                                b2.astype(np.float64)))
+    np.testing.assert_allclose(native, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_native_nms_matches_tpu_nms():
+    import jax.numpy as jnp
+
+    from densecap_tpu.ops.nms import nms as tpu_nms
+
+    boxes = _random_boxes(200, 2)
+    scores = np.random.RandomState(3).permutation(200).astype(np.float32)
+    for thresh in (0.3, 0.5, 0.7):
+        native = native_lib.nms(boxes, scores, thresh, max_out=60)
+        idx, valid = tpu_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), thresh, 60
+        )
+        tpu = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(native, tpu)
+
+
+def test_assign_greedy_semantics():
+    det = np.array(
+        [[10, 10, 20, 20], [11, 11, 21, 21], [100, 100, 110, 110]],
+        np.float32,
+    )
+    gt = np.array([[10, 10, 20, 20]], np.float32)
+    ov, asg, ok = native_lib.assign(det, gt)
+    assert ok.tolist() == [1, 0, 0]      # second det: gt already used
+    assert asg.tolist() == [0, 0, -1]    # third det: no overlap
+    assert ov[0] == pytest.approx(1.0)
+    assert ov[2] == 0.0
+
+
+def test_merge_boxes_matches_python():
+    from densecap_tpu.ops.boxes import merge_boxes as py_merge
+
+    boxes = np.array(
+        [[1, 1, 10, 10], [1, 1, 10, 11], [50, 50, 60, 60],
+         [51, 50, 60, 60], [100, 100, 105, 105]],
+        np.float64,
+    )
+    native = native_lib.merge_boxes(boxes, 0.7)
+    ref = py_merge(boxes, 0.7)
+    assert [sorted(g.tolist()) for g in native] == \
+        [sorted(g.tolist()) for g in ref]
+
+
+def test_dcio_roundtrip(tmp_path):
+    if not native_lib.is_available("dcio"):
+        pytest.skip("libdcio unavailable")
+    from PIL import Image
+
+    # smooth gradient image: PIL downsampling is antialiased (area
+    # filter) while dcio is point bilinear — on smooth content they
+    # agree; noise images would diverge by design
+    yy, xx = np.mgrid[0:60, 0:90]
+    rgb = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(rgb).save(p, quality=95)
+
+    dec = native_lib.decode_jpeg(p)
+    assert dec is not None and dec.shape == (60, 90, 3)
+    pil = np.asarray(Image.open(p).convert("RGB"))
+    # JPEG decode parity with PIL (both libjpeg; allow tiny drift)
+    assert np.mean(np.abs(dec.astype(int) - pil.astype(int))) < 2.0
+
+    canv, hts, wds, ok = native_lib.load_batch(
+        [p, p], 64, (103.939, 116.779, 123.68), num_threads=2
+    )
+    assert ok == 2
+    assert canv.shape == (2, 64, 64, 3)
+    # longest edge 90 -> scale 64/90 -> H ~ 43, W = 64
+    assert wds[0] == 64
+    assert 41 <= hts[0] <= 44
+    h = int(hts[0])
+    # padding region is zeros (mean subtracted only inside the image)
+    assert np.all(canv[0, h:, :, :] == 0)
+    # BGR ordering: canvas channel 0 == blue - mean_b inside the image
+    from densecap_tpu.utils.image import preprocess_for_model
+
+    ref_canvas, rh, rw, _ = preprocess_for_model(rgb, 64)
+    assert (rh, rw) == (hts[0], wds[0])
+    diff = np.abs(canv[0, : int(rh), : int(rw)]
+                  - ref_canvas[: int(rh), : int(rw)])
+    assert np.percentile(diff, 95) < 12.0  # resampler/codec tolerance
+
+
+def test_load_batch_missing_file():
+    if not native_lib.is_available("dcio"):
+        pytest.skip("libdcio unavailable")
+    canv, hts, wds, ok = native_lib.load_batch(
+        ["/nonexistent/file.jpg"], 32, (0, 0, 0), num_threads=1
+    )
+    assert ok == 0
+    assert hts[0] == 0 and np.all(canv == 0)
