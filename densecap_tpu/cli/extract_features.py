@@ -50,11 +50,14 @@ def main(argv=None):
 
     params, extra = ckpt.load_params(args.checkpoint)
     meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
-    cfg = DenseCapConfig(
-        vocab_size=int(meta.get("vocab_size", 10000)),
-        seq_length=int(meta.get("seq_length", 15)),
-        image_size=args.image_size,
-    )
+    if "config" in meta:
+        cfg = DenseCapConfig.from_json(meta["config"])
+    else:
+        cfg = DenseCapConfig(
+            vocab_size=int(meta.get("vocab_size", 10000)),
+            seq_length=int(meta.get("seq_length", 15)),
+        )
+    cfg = cfg.replace(image_size=args.image_size)
 
     fn = jax.jit(
         lambda p, im, h, w: densecap.extract_features(
@@ -78,7 +81,7 @@ def main(argv=None):
             boxes, feats, valid = fn(
                 params, jnp.asarray(canvas), jnp.float32(h), jnp.float32(w)
             )
-            boxes = np.asarray(boxes)
+            boxes = np.array(boxes)  # writable copy
             # canvas coords -> original image coords (xcycwh)
             boxes[:, :2] = (boxes[:, :2] - 1) / scale + 1
             boxes[:, 2:] = boxes[:, 2:] / scale

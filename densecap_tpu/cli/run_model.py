@@ -71,14 +71,20 @@ def main(argv=None):
     meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
     vocab_size = int(meta.get("vocab_size", 10000))
     idx_to_token = meta.get("idx_to_token", {})
-    cfg = DenseCapConfig(
-        vocab_size=vocab_size,
-        seq_length=int(meta.get("seq_length", 15)),
+    if "config" in meta:
+        cfg = DenseCapConfig.from_json(meta["config"])
+    else:
+        cfg = DenseCapConfig(
+            vocab_size=vocab_size,
+            seq_length=int(meta.get("seq_length", 15)),
+        )
+    cfg = cfg.replace(
         image_size=args.image_size,
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         test_max_proposals=args.num_proposals,
     )
+    vocab_size = cfg.vocab_size
 
     fwd = jax.jit(
         lambda p, im, h, w: densecap.forward_test(
@@ -100,7 +106,7 @@ def main(argv=None):
             np.asarray(out.captions)[valid], idx_to_token, vocab_size
         )
         # canvas coords -> original image coords, xywh (run_model.lua:78)
-        boxes_xywh = np.asarray(xcycwh_to_xywh(jnp.asarray(boxes)))
+        boxes_xywh = np.array(xcycwh_to_xywh(jnp.asarray(boxes)))
         boxes_xywh[:, :2] = (boxes_xywh[:, :2] - 1) / scale + 1
         boxes_xywh[:, 2:] = boxes_xywh[:, 2:] / scale
 

@@ -123,6 +123,7 @@ def main(argv=None):
         "vocab_size": cfg.vocab_size,
         "seq_length": cfg.seq_length,
         "idx_to_token": loader.info["idx_to_token"],
+        "config": cfg.to_json(),
     })
 
     loss_history = {}

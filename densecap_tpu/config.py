@@ -85,6 +85,19 @@ class DenseCapConfig:
     def replace(self, **kw) -> "DenseCapConfig":
         return dataclasses.replace(self, **kw)
 
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["compute_dtype"] = jnp.dtype(self.compute_dtype).name
+        return __import__("json").dumps(d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DenseCapConfig":
+        d = __import__("json").loads(s)
+        d["compute_dtype"] = jnp.dtype(d["compute_dtype"]).type
+        d["anchors"] = tuple(tuple(a) for a in d["anchors"])
+        d["field_centers"] = tuple(d["field_centers"])
+        return cls(**d)
+
 
 # VGG-mean BGR pixel offsets used by the whole reference pipeline
 # (DataLoader.lua:64-65, run_model.lua:72-74). Our canvas is RGB-ordered

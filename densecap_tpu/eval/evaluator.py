@@ -58,6 +58,10 @@ class DenseCaptioningEvaluator:
         logprobs: (B,) or (B, 1) objectness scores; boxes: (B, 4) xcycwh;
         text: list of B caption strings; target_boxes: (M, 4) xcycwh;
         target_text: list of M reference strings.
+
+        Uses the native geometry runtime (native/dcgeom.cpp) for merge +
+        greedy assignment when built; pure numpy otherwise (identical
+        semantics, parity-tested in tests/test_native.py).
         """
         logprobs = np.asarray(logprobs, dtype=np.float64).reshape(-1)
         boxes = _xcycwh_to_xyxy(boxes)
@@ -65,7 +69,16 @@ class DenseCaptioningEvaluator:
         assert len(logprobs) == len(boxes) == len(text)
         assert len(target_boxes) == len(target_text)
 
-        groups = merge_boxes(target_boxes, 0.7)
+        try:
+            from .. import native_lib
+            native = native_lib.is_available("dcgeom")
+        except Exception:
+            native = False
+
+        if native and len(target_boxes):
+            groups = native_lib.merge_boxes(target_boxes, 0.7)
+        else:
+            groups = merge_boxes(target_boxes, 0.7)
         merged_boxes = np.stack(
             [target_boxes[g].mean(axis=0) for g in groups]
         ) if groups else np.zeros((0, 4))
@@ -73,29 +86,43 @@ class DenseCaptioningEvaluator:
 
         order = np.argsort(-logprobs, kind="stable")
         nt = len(merged_boxes)
-        used = np.zeros(nt, dtype=bool)
-        for ii in order:
-            bb = boxes[ii]
-            if nt:
-                ious = _pascal_iou_one_vs_many(bb, merged_boxes)
-                jmax = int(np.argmax(ious))
-                ovmax = float(ious[jmax])
-                if ovmax <= 0:
-                    jmax = -1
-            else:
-                jmax, ovmax = -1, 0.0
-            ok = 1
-            if jmax >= 0 and not used[jmax]:
-                used[jmax] = True
-            else:
-                ok = 0
-            self.records.append({
-                "ok": ok,
-                "ov": ovmax,
-                "candidate": text[ii],
-                "references": merged_text[jmax] if jmax >= 0 else [],
-                "imgid": self.n,
-            })
+        if native and nt:
+            ov_arr, jmax_arr, ok_arr = native_lib.assign(
+                boxes[order], merged_boxes
+            )
+            for d, ii in enumerate(order):
+                jmax = int(jmax_arr[d])
+                self.records.append({
+                    "ok": int(ok_arr[d]),
+                    "ov": float(ov_arr[d]),
+                    "candidate": text[ii],
+                    "references": merged_text[jmax] if jmax >= 0 else [],
+                    "imgid": self.n,
+                })
+        else:
+            used = np.zeros(nt, dtype=bool)
+            for ii in order:
+                bb = boxes[ii]
+                if nt:
+                    ious = _pascal_iou_one_vs_many(bb, merged_boxes)
+                    jmax = int(np.argmax(ious))
+                    ovmax = float(ious[jmax])
+                    if ovmax <= 0:
+                        jmax = -1
+                else:
+                    jmax, ovmax = -1, 0.0
+                ok = 1
+                if jmax >= 0 and not used[jmax]:
+                    used[jmax] = True
+                else:
+                    ok = 0
+                self.records.append({
+                    "ok": ok,
+                    "ov": ovmax,
+                    "candidate": text[ii],
+                    "references": merged_text[jmax] if jmax >= 0 else [],
+                    "imgid": self.n,
+                })
         self.n += 1
         self.npos += nt
         self.all_logprobs.append(np.sort(logprobs)[::-1])

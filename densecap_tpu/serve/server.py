@@ -1,0 +1,138 @@
+"""HTTP serving endpoint (reference webcam/server.py + daemon.lua).
+
+The reference split serving across a Flask HTTPS server and a Lua
+daemon communicating through the filesystem (server.py:24-46 polling
+outputs/, daemon.lua:55-103 polling inputs/ — 1-3 FPS, IO bound). Here
+one process serves HTTP directly on top of InferenceEngine: POST a
+base64 or raw JPEG, get boxes/captions JSON back. stdlib http.server
+with a thread pool — no extra dependencies, TLS optional via --certfile.
+
+  python -m densecap_tpu.serve.server --checkpoint ck.npz --port 8080
+
+POST /api/infer   body: {"image": "<base64 jpeg>"} or raw jpeg bytes
+GET  /            serves the webcam browser client
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+import ssl
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "static")
+
+
+def make_handler(engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            path = "client.html" if self.path in ("/", "") else \
+                self.path.lstrip("/")
+            full = os.path.normpath(os.path.join(_STATIC_DIR, path))
+            if not full.startswith(_STATIC_DIR) or not os.path.isfile(full):
+                self._send(404, b'{"error": "not found"}')
+                return
+            ctype = ("text/html" if full.endswith(".html")
+                     else "application/javascript" if full.endswith(".js")
+                     else "text/plain")
+            with open(full, "rb") as f:
+                self._send(200, f.read(), ctype)
+
+        def do_POST(self):
+            if self.path != "/api/infer":
+                self._send(404, b'{"error": "not found"}')
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/json"):
+                    payload = json.loads(body)
+                    img_b64 = payload["image"]
+                    # data-URL prefix tolerated (web-client sends one)
+                    if "," in img_b64[:64]:
+                        img_b64 = img_b64.split(",", 1)[1]
+                    jpg = base64.b64decode(img_b64)
+                else:
+                    jpg = body
+                from PIL import Image
+
+                rgb = np.asarray(
+                    Image.open(io.BytesIO(jpg)).convert("RGB")
+                )
+                result = engine.process_array(rgb)
+                self._send(200, json.dumps(result).encode())
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode())
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--image_size", type=int, default=480,
+                   help="reference demo uses 480px for latency")
+    p.add_argument("--num_proposals", type=int, default=50)
+    p.add_argument("--max_boxes", type=int, default=50)
+    p.add_argument("--certfile", default="",
+                   help="enable TLS (browser webcam needs HTTPS off "
+                        "localhost)")
+    p.add_argument("--keyfile", default="")
+    args = p.parse_args(argv)
+
+    from ..config import DenseCapConfig
+    from ..utils import checkpoint as ckpt
+    from .engine import InferenceEngine
+
+    params, extra = ckpt.load_params(args.checkpoint)
+    meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
+    if "config" in meta:
+        cfg = DenseCapConfig.from_json(meta["config"])
+    else:
+        cfg = DenseCapConfig(
+            vocab_size=int(meta.get("vocab_size", 10000)),
+            seq_length=int(meta.get("seq_length", 15)),
+        )
+    cfg = cfg.replace(
+        image_size=args.image_size,
+        test_max_proposals=args.num_proposals,
+    )
+    engine = InferenceEngine(
+        params, cfg, meta.get("idx_to_token", {}),
+        max_boxes=args.max_boxes,
+    )
+    print("compiling model...")
+    engine.warmup()
+
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(engine))
+    if args.certfile:
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(args.certfile, args.keyfile or None)
+        httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+    print(f"serving on {args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
