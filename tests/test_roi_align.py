@@ -6,7 +6,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from densecap_tpu.ops.roi_align import roi_align, roi_align_naive
+from densecap_tpu.ops.roi_align import (
+    roi_align,
+    roi_align_mxu,
+    roi_align_naive,
+)
 
 
 def test_fast_matches_naive():
@@ -25,6 +29,39 @@ def test_fast_matches_naive():
     )
     a = roi_align(feats, boxes, 192.0, 256.0, 7, 7)
     b = roi_align_naive(feats, boxes, 192.0, 256.0, 7, 7)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_mxu_formulation_matches_gather():
+    rng = np.random.RandomState(4)
+    feats = jnp.asarray(rng.randn(11, 13, 6).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-20, 230, 12),   # includes out-of-image boxes
+                rng.uniform(-20, 180, 12),
+                rng.uniform(1, 120, 12),
+                rng.uniform(1, 90, 12),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    a = roi_align(feats, boxes, 176.0, 208.0, 7, 7)
+    b = roi_align_mxu(feats, boxes, 176.0, 208.0, 7, 7)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_mxu_formulation_cropped_extent():
+    rng = np.random.RandomState(5)
+    full = rng.randn(10, 10, 4).astype(np.float32)
+    crop_h, crop_w = 7, 9
+    boxes = jnp.array([[30.0, 25.0, 20.0, 18.0], [10.0, 10.0, 8.0, 8.0]])
+    a = roi_align_mxu(jnp.asarray(full), boxes, 70.0, 90.0, 7, 7,
+                      feat_h=crop_h, feat_w=crop_w)
+    b = roi_align(jnp.asarray(full[:crop_h, :crop_w]), boxes, 70.0, 90.0,
+                  7, 7)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
 
