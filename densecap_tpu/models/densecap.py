@@ -249,6 +249,20 @@ def forward_test(params, image, img_h, img_w, cfg: DenseCapConfig,
     )
 
 
+def forward_test_batch(params, images, img_hs, img_ws,
+                       cfg: DenseCapConfig, **kw) -> TestOutput:
+    """Batched inference: vmap of forward_test over a stack of canvases.
+
+    images: (N, S, S, 3); img_hs/img_ws: (N,). The whole batch is ONE
+    XLA program — the reference cannot do this at all (N == 1
+    assertions). Serving and bench use it to amortize dispatch and fill
+    the MXU.
+    """
+    return jax.vmap(
+        lambda im, hh, ww: forward_test(params, im, hh, ww, cfg, **kw)
+    )(images, img_hs, img_ws)
+
+
 def extract_features(params, image, img_h, img_w, cfg: DenseCapConfig,
                      *, final_nms_thresh=0.4, max_boxes=100):
     """Boxes + 4096-d codes for the top regions after final NMS.

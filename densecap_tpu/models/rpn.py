@@ -61,13 +61,13 @@ def init_rpn(key, *, input_dim=512, num_filters=256, filter_size=3,
 
 
 def _conv(x, p, padding, compute_dtype):
+    # no preferred_element_type: see vgg16.conv2d_same
     y = lax.conv_general_dilated(
         x.astype(compute_dtype), p["w"].astype(compute_dtype),
         (1, 1), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y.astype(jnp.float32) + p["b"]
 
 
 def apply_rpn(params, feats, anchor_sizes, field_centers,

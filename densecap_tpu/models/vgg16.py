@@ -62,16 +62,21 @@ def init_trunk(key, cfg, cin):
 
 
 def conv2d_same(x, p, compute_dtype):
-    """3x3 'same' conv + bias, NHWC/HWIO, f32 accumulation."""
+    """3x3 'same' conv + bias, NHWC/HWIO.
+
+    Runs in compute_dtype (MXU accumulates f32 internally); the output
+    is upcast to f32 before the bias. No preferred_element_type: its
+    conv transpose rule rejects mixed f32 cotangent / bf16 operands, and
+    XLA's native f32 accumulation makes it redundant here.
+    """
     y = lax.conv_general_dilated(
         x.astype(compute_dtype),
         p["w"].astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + p["b"]
+    return y.astype(jnp.float32) + p["b"]
 
 
 def max_pool_2x2(x):

@@ -134,3 +134,22 @@ def test_extract_features(tiny_setup):
     assert boxes.shape == (5, 4)
     assert codes.shape == (5, TINY.fc_dim)
     assert valid.shape == (5,)
+
+
+def test_bf16_compute_grads(tiny_setup):
+    # regression: conv transpose used to reject mixed f32/bf16 cotangents
+    params, img = tiny_setup
+    gt_boxes, gt_labels, gt_valid = _gt()
+    cfg16 = TINY.replace(compute_dtype=jnp.bfloat16)
+
+    def loss_fn(p):
+        return densecap.forward_train(
+            p, img, jnp.float32(96), jnp.float32(80),
+            gt_boxes, gt_labels, gt_valid, jax.random.PRNGKey(2), cfg16,
+        )["total_loss"]
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert all(x.dtype == jnp.float32 or x.dtype == jnp.float64
+               for x in leaves)
