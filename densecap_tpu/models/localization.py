@@ -149,6 +149,11 @@ def localize_train(
         "mid_objectness_loss": mid_obj,
         "mid_box_reg_loss": mid_box,
         "box_decay_loss": rpn_out.box_decay_loss,
+        # diagnostics (reference __GLOBAL_STATS__, utils.lua:139-143):
+        # batch-mean rates of sampler anomalies + positive count
+        "stats/num_pos": s.num_pos.astype(jnp.float32),
+        "stats/sampler_no_negatives": s.no_negatives.astype(jnp.float32),
+        "stats/sampler_neg_replaced": s.neg_replaced.astype(jnp.float32),
     }
     return LocalizeTrainOut(
         roi_feats=roi_feats,

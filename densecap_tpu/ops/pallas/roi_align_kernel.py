@@ -41,11 +41,14 @@ def _kernel(yf_ref, xf_ref, feats_ref, rowok_ref, colok_ref, out_ref):
     yf = yf_ref[:]                      # (TB, out_h)
     xf = xf_ref[:]                      # (TB, out_w)
 
-    # tent weights, built with broadcasted iota (2D+ as TPU requires)
-    iy = jax.lax.broadcasted_iota(jnp.float32, (TB, out_h, Hf), 2)
+    # tent weights, built with broadcasted iota (int32 — TPU iota only
+    # supports integer results — then cast)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TB, out_h, Hf), 2
+                                  ).astype(jnp.float32)
     Ry = jnp.maximum(0.0, 1.0 - jnp.abs(yf[:, :, None] - iy))
     Ry = Ry * rowok_ref[0][None, None, :]
-    ix = jax.lax.broadcasted_iota(jnp.float32, (TB, out_w, Wf), 2)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TB, out_w, Wf), 2
+                                  ).astype(jnp.float32)
     Rx = jnp.maximum(0.0, 1.0 - jnp.abs(xf[:, :, None] - ix))
     Rx = Rx * colok_ref[0][None, None, :]
 

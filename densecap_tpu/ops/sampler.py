@@ -49,6 +49,11 @@ class SamplerOutput(NamedTuple):
     neg_valid: jax.Array       # (M,) bool
     num_pos: jax.Array         # () int32
     num_neg: jax.Array         # () int32
+    # anomaly flags, the jit-able counterpart of the reference's
+    # __GLOBAL_STATS__ counters (BoxSampler.lua:125-127, :147-151) —
+    # aggregated across steps by the training loop
+    no_negatives: jax.Array    # () bool: fallback triggered
+    neg_replaced: jax.Array    # () bool: negatives had to repeat
 
 
 def _gumbel_topk_select(key, mask, k):
@@ -124,7 +129,7 @@ def compute_match_masks(
     # negative, everything non-positive becomes negative.
     any_neg = jnp.any(neg_mask)
     neg_mask = jnp.where(any_neg, neg_mask, ~pos_mask)
-    return pos_mask, neg_mask, input_idx
+    return pos_mask, neg_mask, input_idx, ~any_neg
 
 
 def sample_rois(
@@ -142,7 +147,7 @@ def sample_rois(
     P = batch_size // 2
     M = batch_size
 
-    pos_mask, neg_mask, input_idx = compute_match_masks(
+    pos_mask, neg_mask, input_idx, no_negs = compute_match_masks(
         input_boxes,
         gt_boxes,
         gt_valid,
@@ -173,6 +178,8 @@ def sample_rois(
         neg_valid=neg_valid,
         num_pos=num_pos,
         num_neg=num_neg,
+        no_negatives=no_negs,
+        neg_replaced=total_neg < num_neg,
     )
 
 

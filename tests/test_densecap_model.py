@@ -61,8 +61,19 @@ def test_forward_train_losses(tiny_setup):
         "mid_objectness_loss", "mid_box_reg_loss", "box_decay_loss",
         "end_objectness_loss", "end_box_reg_loss", "captioning_loss",
         "total_loss",
+        "stats/num_pos", "stats/sampler_no_negatives",
+        "stats/sampler_neg_replaced",
     }
     assert set(losses) == expected_keys
+    # stats must not leak into the objective
+    parts = [
+        "mid_objectness_loss", "mid_box_reg_loss", "box_decay_loss",
+        "end_objectness_loss", "end_box_reg_loss", "captioning_loss",
+    ]
+    np.testing.assert_allclose(
+        float(losses["total_loss"]),
+        sum(float(losses[k]) for k in parts), rtol=1e-6,
+    )
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert float(losses["total_loss"]) > 0

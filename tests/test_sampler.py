@@ -39,7 +39,7 @@ def test_masks_match_reference_fixture():
     # BoxSampler_test.lua:20-67 with low=0.2 high=0.4
     input_boxes, target_boxes = _simple_fixture()
     gt_valid = jnp.ones(3, dtype=bool)
-    pos_mask, neg_mask, input_idx = compute_match_masks(
+    pos_mask, neg_mask, input_idx, _ = compute_match_masks(
         input_boxes, target_boxes, gt_valid, low_thresh=0.2, high_thresh=0.4
     )
     np.testing.assert_array_equal(
@@ -66,7 +66,7 @@ def test_best_match_forcing_and_fallback_fill():
     )
     target_boxes = jnp.array([[4.5, 4, 3, 4]], dtype=jnp.float32)
     gt_valid = jnp.ones(1, dtype=bool)
-    pos_mask, neg_mask, input_idx = compute_match_masks(
+    pos_mask, neg_mask, input_idx, _ = compute_match_masks(
         input_boxes, target_boxes, gt_valid
     )
     np.testing.assert_array_equal(
@@ -99,7 +99,7 @@ def test_bounds_exclusion():
     # fixture boxes 3, 4, 5 -> removed from the negative set; box 0
     # remains negative so the no-negatives fallback does NOT trigger
     bounds = dict(x_min=-100.0, y_min=-5.0, x_max=100.0, y_max=100.0)
-    pos_mask, neg_mask, _ = compute_match_masks(
+    pos_mask, neg_mask, _, _ = compute_match_masks(
         input_boxes, target_boxes, gt_valid,
         low_thresh=0.2, high_thresh=0.4, bounds=bounds,
     )
@@ -115,7 +115,7 @@ def test_bounds_exclusion_fallback_readds_oob():
     input_boxes, target_boxes = _simple_fixture()
     gt_valid = jnp.ones(3, dtype=bool)
     bounds = dict(x_min=0.0, y_min=0.0, x_max=100.0, y_max=100.0)
-    pos_mask, neg_mask, _ = compute_match_masks(
+    pos_mask, neg_mask, _, _ = compute_match_masks(
         input_boxes, target_boxes, gt_valid,
         low_thresh=0.2, high_thresh=0.4, bounds=bounds,
     )
@@ -132,7 +132,7 @@ def test_no_negatives_fallback():
     input_boxes = jnp.array([[5.0, 5.0, 4.0, 4.0], [5.0, 5.0, 4.0, 4.0]])
     target_boxes = jnp.array([[5.0, 5.0, 4.0, 4.0]])
     gt_valid = jnp.ones(1, dtype=bool)
-    pos_mask, neg_mask, _ = compute_match_masks(
+    pos_mask, neg_mask, _, _ = compute_match_masks(
         input_boxes, target_boxes, gt_valid
     )
     # both inputs have IoU 1 -> pos; argmax picks input 0 as forced
@@ -146,11 +146,11 @@ def test_gt_padding_is_ignored():
         [target_boxes, jnp.zeros((5, 4), dtype=jnp.float32)], axis=0
     )
     gt_valid = jnp.array([True, True, True] + [False] * 5)
-    pm1, nm1, ii1 = compute_match_masks(
+    pm1, nm1, ii1, _ = compute_match_masks(
         input_boxes, target_boxes, jnp.ones(3, dtype=bool),
         low_thresh=0.2, high_thresh=0.4,
     )
-    pm2, nm2, ii2 = compute_match_masks(
+    pm2, nm2, ii2, _ = compute_match_masks(
         input_boxes, padded_gt, gt_valid, low_thresh=0.2, high_thresh=0.4
     )
     np.testing.assert_array_equal(np.asarray(pm1), np.asarray(pm2))
