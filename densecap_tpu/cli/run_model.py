@@ -54,7 +54,57 @@ def get_input_images(args):
             for f in os.listdir(args.input_dir)
             if f.lower().endswith(exts)
         )[: args.max_images]
-    raise SystemExit("need --input_image or --input_dir")
+    raise SystemExit(
+        "need --input_image, --input_dir or --input_split"
+    )
+
+
+def run_split(args, params, cfg, idx_to_token):
+    """Run over a dataset split straight from the preprocessed h5
+    (run_model.lua's -input_split mode, :129-142)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import DenseCapLoader
+    from ..models import densecap
+    from ..ops.boxes import xcycwh_to_xywh
+    from ..utils.text import decode_sequence
+
+    loader = DenseCapLoader(args.data_h5, args.data_json)
+    # canvas size comes from the h5; vocab stays the CHECKPOINT's (the
+    # params own the embedding size — the dataset dict must match it)
+    cfg = cfg.replace(image_size=loader.canvas)
+    split = {"train": 0, "val": 1, "test": 2}[args.input_split]
+    n = min(args.max_images, loader.split_size(split)) \
+        if args.max_images > 0 else loader.split_size(split)
+    fwd = jax.jit(
+        lambda p, im, h, w: densecap.forward_test(p, im, h, w, cfg)
+    )
+    results = []
+    loader.reset_iterator(split)
+    for i in range(n):
+        ex = loader.get_example(split=split)
+        out = fwd(params, jnp.asarray(ex["image"]),
+                  jnp.float32(ex["height"]), jnp.float32(ex["width"]))
+        valid = np.asarray(out.valid)
+        boxes = np.asarray(out.boxes)[valid]
+        xywh = np.array(xcycwh_to_xywh(jnp.asarray(boxes)))
+        # h5 canvas coords -> original image coords
+        frac = (float(ex["width"])
+                / float(loader.original_widths[ex["ix"]]))
+        xywh[:, :2] = (xywh[:, :2] - 1) / frac + 1
+        xywh[:, 2:] = xywh[:, 2:] / frac
+        results.append({
+            "img_name": ex["filename"],
+            "boxes": xywh.tolist(),
+            "scores": np.asarray(out.scores)[valid].tolist(),
+            "captions": decode_sequence(
+                np.asarray(out.captions)[valid],
+                loader.idx_to_token(), cfg.vocab_size,
+            ),
+        })
+        print(f"{ex['filename']} ({i + 1}/{n})")
+    return results
 
 
 def main(argv=None):
@@ -86,13 +136,21 @@ def main(argv=None):
     )
     vocab_size = cfg.vocab_size
 
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.input_split:
+        results = run_split(args, params, cfg, idx_to_token)
+        with open(os.path.join(args.output_dir, "results.json"), "w") as f:
+            json.dump({"results": results}, f)
+        print(f"wrote {args.output_dir}/results.json")
+        return
+
     fwd = jax.jit(
         lambda p, im, h, w: densecap.forward_test(
             p, im, h, w, cfg, use_beam=args.beam_size
         )
     )
 
-    os.makedirs(args.output_dir, exist_ok=True)
     results = []
     for path in get_input_images(args):
         rgb = load_image(path)

@@ -189,3 +189,91 @@ def test_extract_features_cli(tmp_path):
         assert h5["boxes"].shape == (2, 4, 4)
         assert h5["feats"].shape[0] == 2
         assert h5["valid"].shape == (2, 4)
+
+
+def test_daemon_fs_contract(tmp_path, engine, monkeypatch):
+    """Directory-watcher protocol: drop a jpg in, json comes out, input
+    is deleted (webcam/daemon.lua contract) — exercised directly against
+    the engine via one poll iteration's worth of logic."""
+    from PIL import Image
+
+    in_dir = tmp_path / "inputs"
+    out_dir = tmp_path / "outputs"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    rng = np.random.RandomState(5)
+    Image.fromarray(
+        rng.randint(0, 255, (50, 50, 3), dtype=np.uint8)
+    ).save(str(in_dir / "frame1.jpg"))
+
+    # run one scan of the daemon loop body inline
+    from densecap_tpu.utils.image import load_image
+
+    for name in sorted(os.listdir(in_dir)):
+        rgb = load_image(str(in_dir / name))
+        result = engine.process_array(rgb)
+        with open(out_dir / (name.rsplit(".", 1)[0] + ".json"), "w") as f:
+            json.dump(result, f)
+        os.remove(in_dir / name)
+
+    assert not list(in_dir.iterdir())
+    with open(out_dir / "frame1.json") as f:
+        out = json.load(f)
+    assert "boxes" in out and "captions" in out
+
+
+def test_run_model_split_mode(tmp_path):
+    """--input_split runs straight off the preprocessed h5."""
+    from densecap_tpu.data import preprocess as pp
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(6)
+    data = []
+    for i in (1, 2):
+        Image.fromarray(
+            rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+        ).save(str(img_dir / f"{i}.jpg"))
+        data.append({"id": i, "regions": [
+            {"phrase": "a thing here", "x": 5, "y": 5,
+             "width": 20, "height": 20},
+        ]})
+    with open(tmp_path / "regions.json", "w") as f:
+        json.dump(data, f)
+    with open(tmp_path / "splits.json", "w") as f:
+        json.dump({"train": [1], "val": [2], "test": []}, f)
+    pp.main([
+        "--region_data", str(tmp_path / "regions.json"),
+        "--image_dir", str(img_dir),
+        "--split_json", str(tmp_path / "splits.json"),
+        "--h5_output", str(tmp_path / "d.h5"),
+        "--json_output", str(tmp_path / "d.json"),
+        "--image_size", "64", "--max_token_length", "4",
+        "--min_token_instances", "1", "--num_workers", "1",
+    ])
+
+    # checkpoint with vocab matching the dataset dicts
+    with open(tmp_path / "d.json") as f:
+        vocab_n = len(json.load(f)["token_to_idx"])
+    cfg = TINY.replace(vocab_size=vocab_n)
+    params = densecap.init_params(jax.random.PRNGKey(0), cfg)
+    ckpath = str(tmp_path / "ck.npz")
+    ckpt.save_params(ckpath, params, extra={"meta": json.dumps(
+        {"config": cfg.to_json()})})
+
+    from densecap_tpu.cli import run_model
+
+    outdir = str(tmp_path / "out")
+    run_model.main([
+        "--checkpoint", ckpath,
+        "--input_split", "val",
+        "--data_h5", str(tmp_path / "d.h5"),
+        "--data_json", str(tmp_path / "d.json"),
+        "--output_dir", outdir,
+        "--num_proposals", "8",
+    ])
+    with open(os.path.join(outdir, "results.json")) as f:
+        res = json.load(f)
+    assert len(res["results"]) == 1
+    assert res["results"][0]["img_name"] == "2.jpg"
