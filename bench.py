@@ -34,7 +34,8 @@ def main():
     from densecap_tpu.config import DenseCapConfig
     from densecap_tpu.models import densecap
 
-    cfg = DenseCapConfig(vocab_size=10000, test_max_proposals=1000)
+    cfg = DenseCapConfig(vocab_size=10000, test_max_proposals=1000,
+                     use_pallas_roi_align=True)
     S = cfg.image_size
 
     params = jax.device_put(

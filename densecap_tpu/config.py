@@ -70,6 +70,14 @@ class DenseCapConfig:
     test_final_nms_thresh: float = 0.3
     test_max_proposals: int = 1000
     clip_final_boxes: bool = True
+    # NMS runs over only the top-K scored proposals (standard Faster
+    # R-CNN practice; the reference scans all ~24k anchors serially).
+    # -1 = all anchors (exact reference semantics); 6000 is
+    # indistinguishable in practice and ~4x faster.
+    test_pre_nms_topk: int = 6000
+    # Serve RoI align from the fused Pallas kernel (TPU only; the jnp
+    # gather path remains the autodiff/train and CPU path)
+    use_pallas_roi_align: bool = False
 
     # numerics: conv/matmul compute dtype (params & accums stay f32)
     compute_dtype: Any = jnp.bfloat16

@@ -205,17 +205,39 @@ def localize_test(
     # (LocalizationLayer.lua:304-308)
     probs = jax.nn.softmax(rpn_out.scores, axis=-1)[:, 0]
 
-    idx, roi_valid = nms(
-        xcycwh_to_x1y1x2y2(boxes), probs, nms_thresh, K, valid=valid
-    )
+    # optional pre-NMS top-k (see config.test_pre_nms_topk)
+    pre_k = cfg.test_pre_nms_topk
+    if 0 < pre_k < boxes.shape[0]:
+        masked = jnp.where(valid, probs, -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(masked, pre_k)
+        nms_boxes = boxes[top_idx]
+        nms_valid = top_scores > -jnp.inf
+        sub_idx, roi_valid = nms(
+            xcycwh_to_x1y1x2y2(nms_boxes), top_scores, nms_thresh, K,
+            valid=nms_valid,
+        )
+        idx = top_idx[sub_idx]
+    else:
+        idx, roi_valid = nms(
+            xcycwh_to_x1y1x2y2(boxes), probs, nms_thresh, K, valid=valid
+        )
     roi_boxes = boxes[idx]
     roi_scores = probs[idx]
 
-    roi_feats = roi_align(
-        feats, roi_boxes, img_h, img_w,
-        cfg.output_height, cfg.output_width,
-        feat_h=fh_valid, feat_w=fw_valid,
-    )
+    if cfg.use_pallas_roi_align:
+        from ..ops.pallas.roi_align_kernel import roi_align_pallas
+
+        roi_feats = roi_align_pallas(
+            feats, roi_boxes, img_h, img_w,
+            cfg.output_height, cfg.output_width,
+            feat_h=fh_valid, feat_w=fw_valid,
+        )
+    else:
+        roi_feats = roi_align(
+            feats, roi_boxes, img_h, img_w,
+            cfg.output_height, cfg.output_width,
+            feat_h=fh_valid, feat_w=fw_valid,
+        )
     return LocalizeTestOut(
         roi_feats=roi_feats,
         roi_boxes=roi_boxes,

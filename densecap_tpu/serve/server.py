@@ -113,9 +113,13 @@ def main(argv=None):
             vocab_size=int(meta.get("vocab_size", 10000)),
             seq_length=int(meta.get("seq_length", 15)),
         )
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
     cfg = cfg.replace(
         image_size=args.image_size,
         test_max_proposals=args.num_proposals,
+        use_pallas_roi_align=on_tpu,
     )
     engine = InferenceEngine(
         params, cfg, meta.get("idx_to_token", {}),
