@@ -1,12 +1,11 @@
 """Benchmark: DenseCap inference throughput at 1000 proposals/image.
 
 Runs the flagship inference pass (VGG-16 trunk -> RPN over ~24k anchors
--> masked NMS to 1000 RoIs -> RoI align -> 4096-d recognition -> greedy
-LSTM decode) end-to-end on the attached TPU chip, bf16 compute. Each
-iteration fetches a scalar checksum — a hard sync (block_until_ready
-does not reliably wait on this transport). Measured per-image time
-includes the transport's ~30 ms dispatch floor; on-device compute is
-~16 ms/image (scripts/profile_inference.py separates the two).
+-> pre-top-k + masked NMS to 1000 RoIs -> fused Pallas RoI align ->
+4096-d recognition -> greedy LSTM decode) end-to-end on the attached
+TPU chip, bf16 compute, 8 images per compiled step with two steps in
+flight. Each sync is a scalar checksum fetch (block_until_ready does
+not reliably wait on this transport).
 
 Baseline: the reference's best published single-GPU figure is 10 FPS —
 at only 50 proposals and 480px input (README.md:168,
@@ -35,42 +34,43 @@ def main():
     from densecap_tpu.models import densecap
 
     cfg = DenseCapConfig(vocab_size=10000, test_max_proposals=1000,
-                     use_pallas_roi_align=True)
+                         use_pallas_roi_align=True)
     S = cfg.image_size
+    B = 8
 
     params = jax.device_put(
         densecap.init_params(jax.random.PRNGKey(0), cfg)
     )
 
     @jax.jit
-    def infer_checksum(params, image, h, w):
-        out = densecap.forward_test(params, image, h, w, cfg)
+    def infer_checksum(params, images, hs, ws):
+        out = densecap.forward_test_batch(params, images, hs, ws, cfg)
         return (jnp.sum(out.boxes) + jnp.sum(out.scores)
                 + jnp.sum(out.captions) + jnp.sum(out.num))
 
-    images = jax.device_put(
-        jax.random.normal(jax.random.PRNGKey(1), (4, S, S, 3),
+    batches = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (2, B, S, S, 3),
                           jnp.float32) * 30.0
     )
-    h = jnp.float32(S)
-    w = jnp.float32(S * 0.75)
+    hs = jnp.full((B,), float(S), jnp.float32)
+    ws = jnp.full((B,), S * 0.75, jnp.float32)
 
     # warmup / compile
-    float(infer_checksum(params, images[0], h, w))
+    float(infer_checksum(params, batches[0], hs, ws))
 
-    iters = 24
+    iters = 12
     depth = 2
     futures = []
     t0 = time.perf_counter()
     for i in range(iters):
-        futures.append(infer_checksum(params, images[i % 4], h, w))
+        futures.append(infer_checksum(params, batches[i % 2], hs, ws))
         if len(futures) > depth:
             float(futures.pop(0))
     for f in futures:
         float(f)
     dt = time.perf_counter() - t0
 
-    images_per_sec = iters / dt
+    images_per_sec = iters * B / dt
     baseline_fps = 10.0  # reference single-machine demo (50 proposals!)
     print(json.dumps({
         "metric": "inference_images_per_sec_1000_proposals",
