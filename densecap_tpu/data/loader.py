@@ -31,10 +31,16 @@ from ..config import VGG_MEAN_BGR
 class DenseCapLoader:
     """Reads the preprocessed HDF5 + dicts json (schema: preprocess.py)."""
 
-    def __init__(self, h5_path, json_path, max_gt_boxes=128, seed=0):
+    def __init__(self, h5_path, json_path, max_gt_boxes=128, seed=0,
+                 proposals_h5=None):
         import h5py
 
         self.h5 = h5py.File(h5_path, "r")
+        # optional external region proposals (reference
+        # DataLoader.lua:47-52; the reference loads these but its model
+        # never consumes them — kept for schema parity)
+        self.obj_h5 = h5py.File(proposals_h5, "r") if proposals_h5 \
+            else None
         with open(json_path) as f:
             self.info = json.load(f)
         self.max_gt_boxes = max_gt_boxes
@@ -114,7 +120,7 @@ class DenseCapLoader:
         gt_labels[:n] = labels
         gt_valid = np.arange(G) < n
 
-        return {
+        out = {
             "image": img,
             "height": np.float32(h),
             "width": np.float32(w),
@@ -125,6 +131,19 @@ class DenseCapLoader:
             "filename": self.info["idx_to_filename"].get(str(ix + 1)),
             "split_pos": (ri, len(ix_list)),
         }
+        if self.obj_h5 is not None:
+            p0 = int(self.obj_h5["img_to_first_box"][ix]) - 1
+            p1 = int(self.obj_h5["img_to_last_box"][ix])
+            props = self.obj_h5["boxes"][p0:p1].astype(np.float32)
+            # scale (x, y, w, h) proposals into resized-image coords and
+            # convert to xcycwh (DataLoader.lua:203-214)
+            frac = w / float(self.original_widths[ix])
+            props[:, :2] = (props[:, :2] - 1) * frac + 1
+            props[:, 2:4] = props[:, 2:4] * frac
+            props[:, 0] += props[:, 2] / 2.0
+            props[:, 1] += props[:, 3] / 2.0
+            out["region_proposals"] = props
+        return out
 
     def get_batch(self, batch_size=1, split=0, iterate=True):
         """Stacked batch of padded examples."""

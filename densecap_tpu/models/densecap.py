@@ -249,6 +249,38 @@ def forward_test(params, image, img_h, img_w, cfg: DenseCapConfig,
     )
 
 
+def forward_train_debug(params, image, img_h, img_w, gt_boxes, gt_labels,
+                        gt_valid, rng, cfg: DenseCapConfig):
+    """forward_train + intermediate dumps for debugging.
+
+    The fixed-shape analogue of the reference's dump_vars hook
+    (LocalizationLayer.lua:511-522, train.lua:86-89): returns (losses,
+    vars) where vars holds the RPN predictions and the sampled
+    positive/negative boxes with their masks. jit-safe (all arrays).
+    """
+    k_sample, _ = jax.random.split(rng)
+    feats = features(params, image, cfg)
+    loc = localize_train(
+        params["rpn"], feats, img_h, img_w,
+        gt_boxes, gt_labels, gt_valid, k_sample, cfg, cfg.anchor_array(),
+    )
+    losses = forward_train(params, image, img_h, img_w, gt_boxes,
+                           gt_labels, gt_valid, rng, cfg)
+    # NOTE: the localization runs again inside forward_train with the
+    # same rng split, so the dumped sample matches the loss sample.
+    varsd = {
+        "pos_boxes": loc.pos_boxes,
+        "pos_anchors": loc.pos_anchors,
+        "pos_trans": loc.pos_trans,
+        "pos_valid": loc.pos_valid,
+        "neg_valid": loc.neg_valid,
+        "pos_target_boxes": loc.pos_target_boxes,
+        "roi_boxes": loc.roi_boxes,
+        "num_pos": loc.num_pos,
+    }
+    return losses, varsd
+
+
 def forward_test_batch(params, images, img_hs, img_ws,
                        cfg: DenseCapConfig, **kw) -> TestOutput:
     """Batched inference: vmap of forward_test over a stack of canvases.

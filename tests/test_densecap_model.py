@@ -164,3 +164,17 @@ def test_bf16_compute_grads(tiny_setup):
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert all(x.dtype == jnp.float32 or x.dtype == jnp.float64
                for x in leaves)
+
+
+def test_forward_train_debug_vars(tiny_setup):
+    params, img = tiny_setup
+    gt_boxes, gt_labels, gt_valid = _gt()
+    losses, varsd = densecap.forward_train_debug(
+        params, img, jnp.float32(96), jnp.float32(80),
+        gt_boxes, gt_labels, gt_valid, jax.random.PRNGKey(2), TINY,
+    )
+    P = TINY.sampler_batch_size // 2
+    assert varsd["pos_boxes"].shape == (P, 4)
+    assert varsd["roi_boxes"].shape == (P + TINY.sampler_batch_size, 4)
+    assert int(varsd["num_pos"]) >= 1
+    assert np.isfinite(float(losses["total_loss"]))
