@@ -70,7 +70,7 @@ def main():
         anchors=((32, 32), (64, 64), (48, 96), (96, 48), (96, 96)),
         sampler_batch_size=64,
         max_gt_boxes=G,
-        test_max_proposals=20,
+        test_max_proposals=50,
         test_pre_nms_topk=-1,
         rnn_size=64,
         rnn_encoding_size=64,
@@ -82,7 +82,7 @@ def main():
     images_d = jax.device_put(jnp.asarray(images))
 
     state, tx = ts.init_state(jax.random.PRNGKey(0), cfg,
-                              learning_rate=2e-4)
+                              learning_rate=3e-4)
     # from-scratch: train the conv trunk too
     state = state._replace(finetune_cnn=jnp.ones((), bool))
 
@@ -91,7 +91,7 @@ def main():
     hs = jnp.full((B,), float(S))
     ws = jnp.full((B,), float(S))
     t0 = time.time()
-    steps = 600
+    steps = 6000
     for it in range(steps):
         sel = np.random.RandomState(it).choice(N_IMAGES, B, replace=False)
         batch = {
@@ -109,6 +109,26 @@ def main():
                   f"cap {float(losses['captioning_loss']):7.4f} "
                   f"endobj {float(losses['end_objectness_loss']):6.4f} "
                   f"({time.time() - t0:.0f}s)")
+
+    # RPN box recall diagnostic: does the localization layer FIND the
+    # boxes (separately from how the final head ranks them)?
+    from densecap_tpu.models.localization import localize_test
+    from densecap_tpu.ops.boxes import eval_box_recall
+
+    feats_fn = jax.jit(lambda p, im: densecap.features(p, im, cfg))
+    loc_fn = jax.jit(lambda rp, f: localize_test(
+        rp, f, jnp.float32(S), jnp.float32(S), cfg, cfg.anchor_array()))
+    rec = []
+    for i in range(4):
+        loc = loc_fn(state.params["rpn"], feats_fn(state.params, images_d[i]))
+        valid = np.asarray(loc.roi_valid)
+        props = jnp.asarray(np.asarray(loc.roi_boxes)[valid])
+        gvi = gt_valid[i]
+        stats = eval_box_recall(props, jnp.asarray(gt_boxes[i][gvi]),
+                                ns=(10, 50))
+        rec.append(stats.get("0.50_recall_at_50",
+                             stats.get("0.50_recall_at_10", 0.0)))
+    print("RPN recall@50 iou0.5 on 4 imgs:", [round(r, 2) for r in rec])
 
     # evaluate on the training set (overfit check)
     fwd = jax.jit(lambda p, im: densecap.forward_test(
