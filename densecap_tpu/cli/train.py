@@ -164,9 +164,11 @@ def main(argv=None):
             if args.timing:
                 print(timer.report())
 
-        # loss explosion watchdog (train.lua:203-208)
+        # loss explosion watchdog (train.lua:203-208) + NaN guard
         if loss0 is None:
             loss0 = total
+        if total != total:
+            raise SystemExit(f"loss is NaN at iter {it}; aborting")
         if total > 100 * loss0:
             raise SystemExit(
                 f"loss exploded ({total} > 100 x {loss0}); aborting"

@@ -28,15 +28,28 @@ DENSECAP_ANCHORS = (
 VGG16_FIELD_CENTERS = (8.5, 8.5, 16.0, 16.0)
 
 
+# Safety rails for degenerate inputs. A single spiked transform during
+# training used to produce exp() overflow -> inf boxes -> NaN IoU ->
+# NaN everything (observed: healthy convergence, then NaN at ~step 2.5k
+# on the overfit sanity run). The clamps below are value-identical in
+# every sane regime (|t| <= 10 is already masked out of losses by the
+# reference's own outlier hack) and keep gradients finite.
+MAX_LOG_SCALE = 20.0   # exp(20) ~ 5e8: far beyond any real box ratio
+MIN_BOX_SIZE = 1e-8
+
+
 def apply_box_transform(boxes, trans):
     """R-CNN box regression: anchors + transforms -> boxes.
 
     boxes: (..., 4) xcycwh anchors; trans: (..., 4) (tx, ty, tw, th).
     x = tx*wa + xa; w = wa*exp(tw) (reference ApplyBoxTransform.lua:84-87).
-    Differentiable in both inputs.
+    Differentiable in both inputs. tw/th are clamped to +-MAX_LOG_SCALE
+    before exp (overflow guard; see note above).
     """
     xa, ya, wa, ha = jnp.split(boxes, 4, axis=-1)
     tx, ty, tw, th = jnp.split(trans, 4, axis=-1)
+    tw = jnp.clip(tw, -MAX_LOG_SCALE, MAX_LOG_SCALE)
+    th = jnp.clip(th, -MAX_LOG_SCALE, MAX_LOG_SCALE)
     return jnp.concatenate(
         [tx * wa + xa, ty * ha + ya, wa * jnp.exp(tw), ha * jnp.exp(th)],
         axis=-1,
@@ -47,9 +60,17 @@ def invert_box_transform(anchor_boxes, target_boxes):
     """Inverse parameterization: the transform taking anchors to targets.
 
     tx = (xt-xa)/wa; tw = log(wt/wa) (reference InvertBoxTransform.lua:50-57).
+    Anchor/target sizes are clamped to MIN_BOX_SIZE so zero-size padded
+    rows produce large-but-finite transforms (which the |t| > 10 outlier
+    mask then zeroes) instead of inf/NaN that poison gradients through
+    jnp.where.
     """
     xa, ya, wa, ha = jnp.split(anchor_boxes, 4, axis=-1)
     xt, yt, wt, ht = jnp.split(target_boxes, 4, axis=-1)
+    wa = jnp.maximum(wa, MIN_BOX_SIZE)
+    ha = jnp.maximum(ha, MIN_BOX_SIZE)
+    wt = jnp.maximum(wt, MIN_BOX_SIZE)
+    ht = jnp.maximum(ht, MIN_BOX_SIZE)
     return jnp.concatenate(
         [(xt - xa) / wa, (yt - ya) / ha, jnp.log(wt / wa), jnp.log(ht / ha)],
         axis=-1,

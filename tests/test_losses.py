@@ -117,3 +117,35 @@ def test_apply_then_invert_loss_zero():
         L.box_regression(anchors, trans, targets, jnp.ones(1, dtype=bool))
     )
     np.testing.assert_allclose(loss, 0.0, atol=1e-10)
+
+
+def test_box_regression_degenerate_inputs_finite_grads():
+    """Zero-size anchors/targets (padded rows) must yield finite loss AND
+    finite gradients — regression test for the NaN-at-step-2500 failure
+    (inf transforms poisoning grads through jnp.where)."""
+    anchors = jnp.array([[10.0, 10.0, 4.0, 4.0],
+                         [0.0, 0.0, 0.0, 0.0]])      # degenerate pad row
+    trans = jnp.array([[0.1, 0.1, 0.1, 0.1],
+                       [50.0, -50.0, 100.0, -100.0]])  # spiked outputs
+    targets = jnp.array([[11.0, 11.0, 5.0, 5.0],
+                         [0.0, 0.0, 0.0, 0.0]])
+    valid = jnp.array([True, True])
+
+    loss, (ga, gt_) = jax.value_and_grad(
+        lambda a, t: L.box_regression(a, t, targets, valid),
+        argnums=(0, 1),
+    )(anchors, trans)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(ga)).all()
+    assert np.isfinite(np.asarray(gt_)).all()
+
+
+def test_apply_transform_overflow_guard():
+    from densecap_tpu.ops.transforms import apply_box_transform
+
+    boxes = jnp.array([[10.0, 10.0, 4.0, 4.0]])
+    trans = jnp.array([[0.0, 0.0, 500.0, -500.0]])  # would overflow exp
+    out = apply_box_transform(boxes, trans)
+    assert np.isfinite(np.asarray(out)).all()
+    g = jax.grad(lambda t: jnp.sum(apply_box_transform(boxes, t)))(trans)
+    assert np.isfinite(np.asarray(g)).all()

@@ -71,3 +71,49 @@ def test_roi_align_pallas_padding_boxes():
     assert got.shape == (5, 7, 7, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_nms_pallas_matches_jnp():
+    import jax.numpy as jnp
+
+    from densecap_tpu.ops.nms import nms
+    from densecap_tpu.ops.pallas.nms_kernel import nms_pallas
+
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        n = 300
+        xy = rng.uniform(1, 100, size=(n, 2))
+        wh = rng.uniform(1, 60, size=(n, 2))
+        boxes = jnp.asarray(
+            np.concatenate([xy, xy + wh], axis=1).astype(np.float32))
+        scores = jnp.asarray(rng.permutation(n).astype(np.float32))
+        for thresh in (0.5, 0.7):
+            ref_i, ref_v = nms(boxes, scores, thresh, 60)
+            got_i, got_v = nms_pallas(boxes, scores, thresh, 60,
+                                      tile_size=64, chunk=128,
+                                      interpret=True)
+            np.testing.assert_array_equal(np.asarray(got_v),
+                                          np.asarray(ref_v))
+            np.testing.assert_array_equal(np.asarray(got_i),
+                                          np.asarray(ref_i))
+
+
+def test_nms_pallas_valid_mask():
+    import jax.numpy as jnp
+
+    from densecap_tpu.ops.nms import nms
+    from densecap_tpu.ops.pallas.nms_kernel import nms_pallas
+
+    rng = np.random.RandomState(1)
+    n = 100
+    xy = rng.uniform(1, 60, size=(n, 2))
+    wh = rng.uniform(1, 40, size=(n, 2))
+    boxes = jnp.asarray(
+        np.concatenate([xy, xy + wh], axis=1).astype(np.float32))
+    scores = jnp.asarray(rng.permutation(n).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.3)
+    ref_i, ref_v = nms(boxes, scores, 0.5, 40, valid=valid)
+    got_i, got_v = nms_pallas(boxes, scores, 0.5, 40, valid=valid,
+                              tile_size=32, chunk=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
