@@ -16,9 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

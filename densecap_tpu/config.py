@@ -78,6 +78,8 @@ class DenseCapConfig:
     # Serve RoI align from the fused Pallas kernel (TPU only; the jnp
     # gather path remains the autodiff/train and CPU path)
     use_pallas_roi_align: bool = False
+    # Run the NMS suppression sweep as one Pallas kernel (TPU only)
+    use_pallas_nms: bool = False
 
     # numerics: conv/matmul compute dtype (params & accums stay f32)
     compute_dtype: Any = jnp.bfloat16

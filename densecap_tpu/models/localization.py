@@ -205,6 +205,11 @@ def localize_test(
     # (LocalizationLayer.lua:304-308)
     probs = jax.nn.softmax(rpn_out.scores, axis=-1)[:, 0]
 
+    if cfg.use_pallas_nms:
+        from ..ops.pallas.nms_kernel import nms_pallas as nms_fn
+    else:
+        nms_fn = nms
+
     # optional pre-NMS top-k (see config.test_pre_nms_topk)
     pre_k = cfg.test_pre_nms_topk
     if 0 < pre_k < boxes.shape[0]:
@@ -212,13 +217,13 @@ def localize_test(
         top_scores, top_idx = jax.lax.top_k(masked, pre_k)
         nms_boxes = boxes[top_idx]
         nms_valid = top_scores > -jnp.inf
-        sub_idx, roi_valid = nms(
+        sub_idx, roi_valid = nms_fn(
             xcycwh_to_x1y1x2y2(nms_boxes), top_scores, nms_thresh, K,
             valid=nms_valid,
         )
         idx = top_idx[sub_idx]
     else:
-        idx, roi_valid = nms(
+        idx, roi_valid = nms_fn(
             xcycwh_to_x1y1x2y2(boxes), probs, nms_thresh, K, valid=valid
         )
     roi_boxes = boxes[idx]

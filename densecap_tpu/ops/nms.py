@@ -21,7 +21,6 @@ serial host iterations. Suppression uses strict IoU > thresh survival
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
