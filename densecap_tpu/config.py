@@ -84,6 +84,10 @@ class DenseCapConfig:
     # numerics: conv/matmul compute dtype (params & accums stay f32)
     compute_dtype: Any = jnp.bfloat16
 
+    # rematerialize the conv trunk in backward (trade FLOPs for HBM;
+    # enables larger per-chip batches at 720px)
+    remat_trunk: bool = False
+
     @property
     def num_anchors(self) -> int:
         return len(self.anchors)

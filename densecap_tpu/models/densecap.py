@@ -105,11 +105,23 @@ def _linear(p, x, compute_dtype):
 
 
 def features(params, image, cfg: DenseCapConfig):
-    """Conv trunk: (H, W, 3) image -> (H/16, W/16, 512) features."""
-    x = image[None]
-    x = apply_trunk(params["trunk1"], TRUNK1_CFG, x, cfg.compute_dtype)
-    x = apply_trunk(params["trunk2"], TRUNK2_CFG, x, cfg.compute_dtype)
-    return x[0]
+    """Conv trunk: (H, W, 3) image -> (H/16, W/16, 512) features.
+
+    With cfg.remat_trunk the trunk recomputes activations in the
+    backward pass (jax.checkpoint) instead of keeping ~350 MB/image of
+    conv activations alive — the rematerialization lever the reference
+    had no equivalent for.
+    """
+
+    def run(p1, p2, img):
+        x = img[None]
+        x = apply_trunk(p1, TRUNK1_CFG, x, cfg.compute_dtype)
+        x = apply_trunk(p2, TRUNK2_CFG, x, cfg.compute_dtype)
+        return x[0]
+
+    if cfg.remat_trunk:
+        run = jax.checkpoint(run)
+    return run(params["trunk1"], params["trunk2"], image)
 
 
 def forward_train(params, image, img_h, img_w, gt_boxes, gt_labels,

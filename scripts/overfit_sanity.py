@@ -81,8 +81,12 @@ def main():
     images, gt_boxes, gt_labels, gt_valid, texts = make_dataset()
     images_d = jax.device_put(jnp.asarray(images))
 
+    import optax
+
+    steps_total = 6000
+    lr = optax.cosine_decay_schedule(3e-4, steps_total, alpha=0.02)
     state, tx = ts.init_state(jax.random.PRNGKey(0), cfg,
-                              learning_rate=3e-4)
+                              learning_rate=lr)
     # from-scratch: train the conv trunk too
     state = state._replace(finetune_cnn=jnp.ones((), bool))
 
@@ -91,7 +95,7 @@ def main():
     hs = jnp.full((B,), float(S))
     ws = jnp.full((B,), float(S))
     t0 = time.time()
-    steps = 6000
+    steps = steps_total
     for it in range(steps):
         sel = np.random.RandomState(it).choice(N_IMAGES, B, replace=False)
         batch = {

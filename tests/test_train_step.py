@@ -109,3 +109,22 @@ def test_dryrun_multichip_cpu():
 
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_remat_trunk_matches_no_remat():
+    cfg_r = TINY.replace(remat_trunk=True)
+    state, tx = ts.init_state(jax.random.PRNGKey(0), TINY,
+                              learning_rate=1e-3)
+    state_r, tx_r = ts.init_state(jax.random.PRNGKey(0), cfg_r,
+                                  learning_rate=1e-3)
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    s1, l1 = ts.train_step(state, batch, rng, TINY, tx)
+    s2, l2 = ts.train_step(state_r, batch, rng, cfg_r, tx_r)
+    np.testing.assert_allclose(float(l1["total_loss"]),
+                               float(l2["total_loss"]), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s1.params)
+    b = jax.tree_util.tree_leaves(s2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
