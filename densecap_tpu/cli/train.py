@@ -46,6 +46,9 @@ def build_argparser():
     p.add_argument("--drop_prob", type=float, default=0.5)
     # optimization
     p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--cosine_decay_steps", type=int, default=-1,
+                   help="cosine-decay the lr over this many steps "
+                        "(-1 = constant, the reference behavior)")
     p.add_argument("--optim_beta1", type=float, default=0.9)
     p.add_argument("--optim_beta2", type=float, default=0.999)
     p.add_argument("--optim_epsilon", type=float, default=1e-8)
@@ -105,8 +108,15 @@ def main(argv=None):
 
     mesh = meshlib.make_mesh(model_parallel=args.model_parallel)
     key = jax.random.PRNGKey(args.seed)
+    lr = args.learning_rate
+    if args.cosine_decay_steps > 0:
+        import optax
+
+        lr = optax.cosine_decay_schedule(
+            args.learning_rate, args.cosine_decay_steps, alpha=0.02
+        )
     state, tx = ts.init_state(
-        key, cfg, learning_rate=args.learning_rate,
+        key, cfg, learning_rate=lr,
         beta1=args.optim_beta1, beta2=args.optim_beta2,
         eps=args.optim_epsilon,
     )
