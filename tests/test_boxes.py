@@ -122,3 +122,64 @@ def test_eval_box_recall_smoke():
     gt = jnp.array([[5.0, 5.0, 4.0, 4.0], [50.0, 50.0, 4.0, 4.0]])
     stats = B.eval_box_recall(boxes, gt)
     assert stats["0.50_recall_at_100"] == pytest.approx(0.5)
+
+
+def test_clip_boxes_xcycwh_reference_golden():
+    """Input fixture from test/clip_boxes_test.lua:9-45.
+
+    NOTE: like BoxIoU, the reference's clip test is stale — it expects
+    the w/2 corner conversion while live box_utils.lua uses (w-1)/2
+    with an asymmetric inverse (x1y1x2y2_to_xcycwh has no +1), which
+    also shrinks every box by 1 in w/h through the round trip and keeps
+    1px border slivers "valid". We match the LIVE code (what the
+    released model executes); expectations below are live-code
+    semantics, hand-derived.
+    """
+    boxes = jnp.array(
+        [
+            [0.5, 8.5, 7, 5],
+            [3.5, -0.5, 9, 7],
+            [9.5, 14.5, 7, 5],
+            [9, 7, 4, 4],
+            [11, 1.5, 2, 3],
+            [13, 1.5, 2, 2],    # oob x -> sliver
+            [1, 16, 3, 1],      # oob y -> sliver
+            [-5, 1, 3, 1],      # oob x, h collapses -> invalid
+            [-5, -6, 3, 1],     # oob both -> sliver
+            [15, 16, 3, 1],     # oob both, other side -> sliver
+        ],
+        dtype=jnp.float64,
+    )
+    bounds = dict(x_min=0, x_max=12, y_min=0, y_max=15)
+    clipped, valid = B.clip_boxes(boxes, bounds, "xcycwh")
+    expected = np.array(
+        [
+            [1.75, 8.5, 3.5, 4.0],
+            [3.75, 1.25, 7.5, 2.5],
+            [9.25, 13.75, 5.5, 2.5],
+            [9.0, 7.0, 3.0, 3.0],
+            [11.0, 1.5, 1.0, 2.0],
+            [11.5, 1.5, 1.0, 1.0],
+            [1.0, 14.5, 2.0, 1.0],
+            [0.5, 1.0, 1.0, 0.0],
+            [0.5, 0.5, 1.0, 1.0],
+            [11.5, 14.5, 1.0, 1.0],
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(clipped), expected)
+    np.testing.assert_array_equal(
+        np.asarray(valid),
+        np.array([1, 1, 1, 1, 1, 1, 1, 0, 1, 1], dtype=bool),
+    )
+
+
+def test_xywh_x1y1x2y2_inverse_roundtrip():
+    """test/box_conversion_test.lua: converting back and forth is stable."""
+    rng = np.random.RandomState(0)
+    boxes_xywh = rng.randn(100, 4)
+    boxes_xywh[:, 2:] = np.abs(boxes_xywh[:, 2:])
+    a = B.xywh_to_x1y1x2y2(jnp.asarray(boxes_xywh))
+    b = B.x1y1x2y2_to_xywh(a)
+    c = B.xywh_to_x1y1x2y2(b)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), boxes_xywh, atol=1e-6)
