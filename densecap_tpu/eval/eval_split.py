@@ -15,7 +15,7 @@ from .evaluator import DenseCaptioningEvaluator
 
 
 def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
-               loss_rng=None, verbose=True):
+               loss_rng=None, verbose=True, beam_size=0):
     split_n = loader.split_size(split)
     n_images = split_n if max_images <= 0 else min(max_images, split_n)
     loader.reset_iterator(split)
@@ -23,7 +23,8 @@ def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
     idx_to_token = loader.idx_to_token()
 
     fwd_test = jax.jit(
-        lambda p, im, h, w: densecap.forward_test(p, im, h, w, cfg)
+        lambda p, im, h, w: densecap.forward_test(
+            p, im, h, w, cfg, use_beam=beam_size)
     )
     fwd_loss = jax.jit(
         lambda p, im, h, w, gb, gl, gv, r: densecap.forward_train(
