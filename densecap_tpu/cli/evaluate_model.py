@@ -31,9 +31,13 @@ def main(argv=None):
     loader = DenseCapLoader(args.data_h5, args.data_json,
                             max_gt_boxes=args.max_gt_boxes)
     params, extra = ckpt.load_params(args.checkpoint)
-    cfg = DenseCapConfig(
-        vocab_size=loader.vocab_size(),
-        seq_length=loader.seq_length(),
+    meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
+    if "config" in meta:
+        cfg = DenseCapConfig.from_json(meta["config"])
+    else:
+        cfg = DenseCapConfig(vocab_size=loader.vocab_size(),
+                             seq_length=loader.seq_length())
+    cfg = cfg.replace(
         image_size=loader.canvas,
         test_max_proposals=args.num_proposals,
         test_rpn_nms_thresh=args.rpn_nms_thresh,

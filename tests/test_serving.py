@@ -277,3 +277,61 @@ def test_run_model_split_mode(tmp_path):
         res = json.load(f)
     assert len(res["results"]) == 1
     assert res["results"][0]["img_name"] == "2.jpg"
+
+
+def test_evaluate_model_cli(tmp_path):
+    """evaluate_model over a mini preprocessed dataset computes a mAP."""
+    from densecap_tpu.data import preprocess as pp
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(7)
+    data = []
+    for i in (1, 2, 3):
+        Image.fromarray(
+            rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+        ).save(str(img_dir / f"{i}.jpg"))
+        data.append({"id": i, "regions": [
+            {"phrase": "a red thing", "x": 5, "y": 5,
+             "width": 20, "height": 20},
+            {"phrase": "blue thing here", "x": 40, "y": 20,
+             "width": 25, "height": 20},
+        ]})
+    with open(tmp_path / "regions.json", "w") as f:
+        json.dump(data, f)
+    with open(tmp_path / "splits.json", "w") as f:
+        json.dump({"train": [1], "val": [2], "test": [3]}, f)
+    pp.main([
+        "--region_data", str(tmp_path / "regions.json"),
+        "--image_dir", str(img_dir),
+        "--split_json", str(tmp_path / "splits.json"),
+        "--h5_output", str(tmp_path / "d.h5"),
+        "--json_output", str(tmp_path / "d.json"),
+        "--image_size", "64", "--max_token_length", "4",
+        "--min_token_instances", "1", "--num_workers", "1",
+    ])
+    with open(tmp_path / "d.json") as f:
+        vocab_n = len(json.load(f)["token_to_idx"])
+    cfg = TINY.replace(vocab_size=vocab_n)
+    params = densecap.init_params(jax.random.PRNGKey(0), cfg)
+    ckpath = str(tmp_path / "ck.npz")
+    ckpt.save_params(ckpath, params, extra={"meta": json.dumps(
+        {"config": cfg.to_json()})})
+
+    from densecap_tpu.cli import evaluate_model
+
+    out_json = str(tmp_path / "res.json")
+    evaluate_model.main([
+        "--checkpoint", ckpath,
+        "--data_h5", str(tmp_path / "d.h5"),
+        "--data_json", str(tmp_path / "d.json"),
+        "--split", "test",
+        "--num_proposals", "8",
+        "--max_gt_boxes", "4",
+        "--out_json", out_json,
+    ])
+    with open(out_json) as f:
+        res = json.load(f)
+    assert 0.0 <= res["ap_results"]["map"] <= 1.0
+    assert "total_loss" in res["loss_results"]
