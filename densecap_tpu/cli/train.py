@@ -55,6 +55,10 @@ def build_argparser():
     p.add_argument("--max_iters", type=int, default=-1)
     p.add_argument("--batch_size", type=int, default=1,
                    help="images per step (global, sharded over 'data')")
+    p.add_argument("--canvas_buckets", default="",
+                   help="comma list of HxW canvas buckets (e.g. "
+                        "'720x576,576x720') to cut padded-square conv "
+                        "waste; each bucket compiles once")
     p.add_argument("--finetune_cnn_after", type=int, default=-1)
     p.add_argument("--checkpoint_start_from", default="")
     # eval / checkpointing
@@ -126,7 +130,18 @@ def main(argv=None):
               f"at step {int(state.step)}")
     state = state._replace(params=meshlib.shard_params(state.params, mesh))
 
-    prefetch = PrefetchingLoader(loader, args.batch_size, split=0)
+    if args.canvas_buckets:
+        from ..data.loader import BucketedLoader
+
+        buckets = [
+            tuple(int(v) for v in b.split("x"))
+            for b in args.canvas_buckets.split(",") if b
+        ]
+        bucketed = BucketedLoader(loader, buckets, args.batch_size, split=0)
+        prefetch = None
+    else:
+        bucketed = None
+        prefetch = PrefetchingLoader(loader, args.batch_size, split=0)
     meta = json.dumps({
         "vocab_size": cfg.vocab_size,
         "seq_length": cfg.seq_length,
@@ -144,7 +159,10 @@ def main(argv=None):
     it = int(state.step)
     while args.max_iters < 0 or it < args.max_iters:
         with timer.stage("data"):
-            batch_np = prefetch.next()
+            if bucketed is not None:
+                _, batch_np = bucketed.next_batch()
+            else:
+                batch_np = prefetch.next()
             batch = {
                 k: jnp.asarray(v)
                 for k, v in batch_np.items()
@@ -220,7 +238,8 @@ def main(argv=None):
                 )
                 print(f"saved checkpoint to {args.checkpoint_path}.npz")
 
-    prefetch.close()
+    if prefetch is not None:
+        prefetch.close()
 
 
 if __name__ == "__main__":

@@ -158,6 +158,60 @@ class DenseCapLoader:
         return batch
 
 
+class BucketedLoader:
+    """Canvas-bucketed batching: recover padded-square FLOP waste.
+
+    The fixed S x S canvas wastes up to ~33% conv FLOPs on portrait /
+    landscape images. Buckets are (bh, bw) canvas shapes; each image is
+    cropped (top-left content is preserved — the h5 canvas is top-left
+    aligned) to the smallest bucket that fits its true extent, and
+    batches are formed per bucket. Each bucket shape compiles its own
+    XLA program once (jax.jit specializes on shapes automatically).
+    """
+
+    def __init__(self, loader: DenseCapLoader, buckets, batch_size,
+                 split=0, iterate=True):
+        S = loader.canvas
+        self.loader = loader
+        # always include the full square as the fallback bucket
+        bl = sorted(set(tuple(b) for b in buckets) | {(S, S)},
+                    key=lambda b: b[0] * b[1])
+        self.buckets = bl
+        self.batch_size = batch_size
+        self.split = split
+        self.iterate = iterate
+        self.pending = {b: [] for b in self.buckets}
+
+    def _bucket_for(self, h, w):
+        for bh, bw in self.buckets:
+            if h <= bh and w <= bw:
+                return (bh, bw)
+        return self.buckets[-1]
+
+    def next_batch(self):
+        """Returns (bucket_shape, batch dict) with images cropped to the
+        bucket canvas."""
+        while True:
+            ex = self.loader.get_example(self.split, self.iterate)
+            b = self._bucket_for(int(ex["height"]), int(ex["width"]))
+            self.pending[b].append(ex)
+            if len(self.pending[b]) == self.batch_size:
+                exs = self.pending[b]
+                self.pending[b] = []
+                bh, bw = b
+                batch = {
+                    "image": np.stack(
+                        [e["image"][:bh, :bw] for e in exs]
+                    ),
+                    "height": np.stack([e["height"] for e in exs]),
+                    "width": np.stack([e["width"] for e in exs]),
+                    "gt_boxes": np.stack([e["gt_boxes"] for e in exs]),
+                    "gt_labels": np.stack([e["gt_labels"] for e in exs]),
+                    "gt_valid": np.stack([e["gt_valid"] for e in exs]),
+                }
+                return b, batch
+
+
 class PrefetchingLoader:
     """Background-thread batch prefetcher (depth-2 pipeline)."""
 
