@@ -94,6 +94,9 @@ def main(argv=None):
                    help="reference demo uses 480px for latency")
     p.add_argument("--num_proposals", type=int, default=50)
     p.add_argument("--max_boxes", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="micro-batch concurrent requests into one "
+                        "compiled step (throughput mode)")
     p.add_argument("--certfile", default="",
                    help="enable TLS (browser webcam needs HTTPS off "
                         "localhost)")
@@ -123,7 +126,7 @@ def main(argv=None):
     )
     engine = InferenceEngine(
         params, cfg, meta.get("idx_to_token", {}),
-        max_boxes=args.max_boxes,
+        max_boxes=args.max_boxes, batch_size=args.batch_size,
     )
     print("compiling model...")
     engine.warmup()

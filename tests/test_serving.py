@@ -335,3 +335,34 @@ def test_evaluate_model_cli(tmp_path):
         res = json.load(f)
     assert 0.0 <= res["ap_results"]["map"] <= 1.0
     assert "total_loss" in res["loss_results"]
+
+
+def test_engine_micro_batching():
+    """batch_size > 1: concurrent requests produce the same outputs as
+    sequential single-image processing."""
+    params = densecap.init_params(jax.random.PRNGKey(0), TINY)
+    single = InferenceEngine(params, TINY, IDX_TO_TOKEN, max_boxes=5,
+                             smoothing=False)
+    batched = InferenceEngine(params, TINY, IDX_TO_TOKEN, max_boxes=5,
+                              smoothing=False, batch_size=3,
+                              batch_window_ms=50.0)
+    rng = np.random.RandomState(9)
+    imgs = [rng.randint(0, 255, (60, 70, 3), dtype=np.uint8)
+            for _ in range(3)]
+    want = [single.process_array(im) for im in imgs]
+
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = batched.process_array(imgs[i])
+
+    ts_ = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts_:
+        t.start()
+    for t in ts_:
+        t.join(timeout=120)
+    for got, ref in zip(results, want):
+        assert got is not None
+        np.testing.assert_allclose(got["boxes"], ref["boxes"],
+                                   rtol=1e-4, atol=1e-3)
+        assert got["captions"] == ref["captions"]
