@@ -102,6 +102,39 @@ _VGG_CONV_ORDER = [
     "conv5_1", "conv5_2", "conv5_3",
 ]
 
+# torchvision vgg16 state_dict layer indices -> our names, so
+# {k: v.numpy() for k, v in tv_state_dict.items()} renames straight
+# into convert_torch_vgg16's expected keys
+_TORCHVISION_VGG16 = {
+    "features.0": "conv1_1", "features.2": "conv1_2",
+    "features.5": "conv2_1", "features.7": "conv2_2",
+    "features.10": "conv3_1", "features.12": "conv3_2",
+    "features.14": "conv3_3",
+    "features.17": "conv4_1", "features.19": "conv4_2",
+    "features.21": "conv4_3",
+    "features.24": "conv5_1", "features.26": "conv5_2",
+    "features.28": "conv5_3",
+    "classifier.0": "fc6", "classifier.3": "fc7",
+}
+
+
+def rename_torchvision_vgg16(state_dict):
+    """torchvision vgg16 {features.N.weight: array} -> our naming.
+
+    NOTE: torchvision's VGG is RGB-input with 0..1-normalized images;
+    the reference caffemodel is BGR with 0..255 - mean inputs (the
+    convention this framework keeps). When initializing from torchvision
+    weights, flip conv1_1's input-channel order and rescale:
+    w[:, :, ::-1, ...] * (1/255-ish normalization folding is NOT done
+    here — document/verify per weight source).
+    """
+    out = {}
+    for key, arr in state_dict.items():
+        base, _, kind = key.rpartition(".")
+        if base in _TORCHVISION_VGG16 and kind in ("weight", "bias"):
+            out[f"{_TORCHVISION_VGG16[base]}.{kind}"] = arr
+    return out
+
 
 def convert_torch_vgg16(weights, out_hw=(7, 7)):
     """{name: np.ndarray} torch-layout VGG-16 -> our trunk/recog pytrees.
