@@ -18,6 +18,9 @@ def main(argv=None):
     p.add_argument("--rpn_nms_thresh", type=float, default=0.7)
     p.add_argument("--final_nms_thresh", type=float, default=0.3)
     p.add_argument("--max_gt_boxes", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="batched test pass (skips loss stats)")
+    p.add_argument("--skip_losses", type=int, default=0)
     p.add_argument("--beam_size", type=int, default=0,
                    help="beam width for caption decoding (0 = greedy)")
     p.add_argument("--out_json", default="")
@@ -47,7 +50,9 @@ def main(argv=None):
     split = {"val": 1, "test": 2}[args.split]
     results = eval_split(params, loader, cfg, split=split,
                          max_images=args.max_images,
-                         beam_size=args.beam_size)
+                         beam_size=args.beam_size,
+                         compute_losses=not args.skip_losses,
+                         batch_size=args.batch_size)
     print(json.dumps({
         "map": results["ap_results"]["map"],
         "detmap": results["ap_results"]["detmap"],

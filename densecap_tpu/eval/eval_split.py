@@ -15,57 +15,103 @@ from .evaluator import DenseCaptioningEvaluator
 
 
 def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
-               loss_rng=None, verbose=True, beam_size=0):
+               loss_rng=None, verbose=True, beam_size=0,
+               compute_losses=True, batch_size=1):
+    """Evaluate `params` on a split.
+
+    compute_losses=False skips the per-image training-loss pass (the
+    reference always runs it, eval_utils.lua:58, but it only feeds the
+    printed loss stats). batch_size > 1 runs the test pass batched
+    (forward_test_batch) — ~B x fewer dispatches; implies
+    compute_losses=False.
+    """
+    if batch_size > 1:
+        compute_losses = False
     split_n = loader.split_size(split)
     n_images = split_n if max_images <= 0 else min(max_images, split_n)
     loader.reset_iterator(split)
     evaluator = DenseCaptioningEvaluator(id=id)
     idx_to_token = loader.idx_to_token()
 
-    fwd_test = jax.jit(
-        lambda p, im, h, w: densecap.forward_test(
-            p, im, h, w, cfg, use_beam=beam_size)
-    )
-    fwd_loss = jax.jit(
-        lambda p, im, h, w, gb, gl, gv, r: densecap.forward_train(
-            p, im, h, w, gb, gl, gv, r, cfg
+    if batch_size > 1:
+        fwd_batch = jax.jit(
+            lambda p, ims, hs, ws: densecap.forward_test_batch(
+                p, ims, hs, ws, cfg, use_beam=beam_size)
         )
-    )
+    else:
+        fwd_test = jax.jit(
+            lambda p, im, h, w: densecap.forward_test(
+                p, im, h, w, cfg, use_beam=beam_size)
+        )
+    if compute_losses:
+        fwd_loss = jax.jit(
+            lambda p, im, h, w, gb, gl, gv, r: densecap.forward_train(
+                p, im, h, w, gb, gl, gv, r, cfg
+            )
+        )
     rng = loss_rng if loss_rng is not None else jax.random.PRNGKey(0)
 
     all_losses = []
-    for counter in range(n_images):
-        ex = loader.get_example(split=split, iterate=True)
-        im = jnp.asarray(ex["image"])
-        h, w = jnp.float32(ex["height"]), jnp.float32(ex["width"])
 
-        rng, sub = jax.random.split(rng)
-        losses = fwd_loss(
-            params, im, h, w, jnp.asarray(ex["gt_boxes"]),
-            jnp.asarray(ex["gt_labels"]), jnp.asarray(ex["gt_valid"]), sub,
-        )
-        all_losses.append({k: float(v) for k, v in losses.items()})
-
-        out = fwd_test(params, im, h, w)
-        valid = np.asarray(out.valid)
-        boxes = np.asarray(out.boxes)[valid]
-        scores = np.asarray(out.scores)[valid]
+    def add_one(ex, out_boxes, out_scores, out_caps, out_valid, counter):
+        valid = np.asarray(out_valid)
+        boxes = np.asarray(out_boxes)[valid]
+        scores = np.asarray(out_scores)[valid]
         captions = decode_sequence(
-            np.asarray(out.captions)[valid], idx_to_token, cfg.vocab_size
+            np.asarray(out_caps)[valid], idx_to_token, cfg.vocab_size
         )
-
         gv = np.asarray(ex["gt_valid"])
         gt_boxes = np.asarray(ex["gt_boxes"])[gv]
         gt_captions = decode_sequence(
             np.asarray(ex["gt_labels"])[gv], idx_to_token, cfg.vocab_size
         )
-        evaluator.add_result(scores, boxes, captions, gt_boxes, gt_captions)
-
+        evaluator.add_result(scores, boxes, captions, gt_boxes,
+                             gt_captions)
         if verbose:
             print(
                 f"Processed image {ex['filename']} ({counter + 1}/"
-                f"{n_images}) of split {split}, detected {len(boxes)} regions"
+                f"{n_images}) of split {split}, detected {len(boxes)} "
+                "regions"
             )
+
+    if batch_size > 1:
+        done = 0
+        while done < n_images:
+            exs = [loader.get_example(split=split, iterate=True)
+                   for _ in range(min(batch_size, n_images - done))]
+            n_real = len(exs)
+            while len(exs) < batch_size:  # pad the tail batch
+                exs.append(exs[-1])
+            out = fwd_batch(
+                params,
+                jnp.asarray(np.stack([e["image"] for e in exs])),
+                jnp.asarray(np.asarray([e["height"] for e in exs],
+                                       np.float32)),
+                jnp.asarray(np.asarray([e["width"] for e in exs],
+                                       np.float32)),
+            )
+            for i in range(n_real):
+                add_one(exs[i], out.boxes[i], out.scores[i],
+                        out.captions[i], out.valid[i], done + i)
+            done += n_real
+    else:
+        for counter in range(n_images):
+            ex = loader.get_example(split=split, iterate=True)
+            im = jnp.asarray(ex["image"])
+            h, w = jnp.float32(ex["height"]), jnp.float32(ex["width"])
+
+            if compute_losses:
+                rng, sub = jax.random.split(rng)
+                losses = fwd_loss(
+                    params, im, h, w, jnp.asarray(ex["gt_boxes"]),
+                    jnp.asarray(ex["gt_labels"]),
+                    jnp.asarray(ex["gt_valid"]), sub,
+                )
+                all_losses.append({k: float(v) for k, v in losses.items()})
+
+            out = fwd_test(params, im, h, w)
+            add_one(ex, out.boxes, out.scores, out.captions, out.valid,
+                    counter)
 
     loss_results = {
         k: float(np.mean([d[k] for d in all_losses]))

@@ -141,3 +141,19 @@ def test_orbax_train_state_roundtrip(dataset, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_eval_split_batched_matches_sequential(dataset):
+    h5_out, json_out = dataset
+    loader = DenseCapLoader(h5_out, json_out, max_gt_boxes=4)
+    cfg = _cfg(loader)
+    params = __import__("densecap_tpu.models.densecap",
+                        fromlist=["densecap"]).init_params(
+        jax.random.PRNGKey(3), cfg)
+    seq = eval_split(params, loader, cfg, split=0, max_images=4,
+                     verbose=False, compute_losses=False)
+    bat = eval_split(params, loader, cfg, split=0, max_images=4,
+                     verbose=False, batch_size=3)
+    assert abs(seq["ap_results"]["map"] - bat["ap_results"]["map"]) < 1e-6
+    assert abs(seq["ap_results"]["detmap"]
+               - bat["ap_results"]["detmap"]) < 1e-6
