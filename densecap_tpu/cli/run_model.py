@@ -39,6 +39,9 @@ def build_argparser():
     p.add_argument("--output_vis", type=int, default=1)
     p.add_argument("--output_images", type=int, default=0,
                    help="also write baked images with drawn boxes")
+    p.add_argument("--copy_images", type=int, default=0,
+                   help="copy inputs into output_dir so the "
+                        "vis/view_results.html browser can show them")
     p.add_argument("--max_images", type=int, default=100)
     p.add_argument("--beam_size", type=int, default=0)
     return p
@@ -176,6 +179,12 @@ def main(argv=None):
         }
         results.append(result)
         print(f"{path}: {len(boxes)} regions")
+
+        if args.copy_images:
+            import shutil
+
+            shutil.copy(path, os.path.join(args.output_dir,
+                                           os.path.basename(path)))
 
         if args.output_images:
             from ..utils.vis import densecap_draw

@@ -110,7 +110,17 @@ def main(argv=None):
     )
     print(f"vocab_size={cfg.vocab_size} seq_length={cfg.seq_length}")
 
-    mesh = meshlib.make_mesh(model_parallel=args.model_parallel)
+    # data axis must evenly divide the global batch: use the largest
+    # divisor of batch_size that fits the available devices
+    avail = len(jax.devices()) // args.model_parallel
+    data_par = max(
+        d for d in range(1, avail + 1) if args.batch_size % d == 0
+    )
+    mesh = meshlib.make_mesh(
+        n_devices=data_par * args.model_parallel,
+        model_parallel=args.model_parallel,
+    )
+    print(f"mesh: data={data_par} model={args.model_parallel}")
     key = jax.random.PRNGKey(args.seed)
     lr = args.learning_rate
     if args.cosine_decay_steps > 0:

@@ -1,0 +1,82 @@
+"""End-to-end exercise of the training CLI itself: arg parsing, mesh
+setup, prefetching, train steps, the eval+checkpoint hook, and the
+written artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from PIL import Image
+
+    from densecap_tpu.data import preprocess as pp
+
+    root = tmp_path_factory.mktemp("cli_vg")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    data = []
+    for i in range(5):
+        img_id = 1 + i
+        Image.fromarray(
+            rng.randint(0, 255, (72, 96, 3), dtype=np.uint8)
+        ).save(img_dir / f"{img_id}.jpg")
+        data.append({"id": img_id, "regions": [
+            {"phrase": "a red cat", "x": 8, "y": 8,
+             "width": 30, "height": 24},
+            {"phrase": "a blue dog", "x": 48, "y": 30,
+             "width": 24, "height": 30},
+        ]})
+    with open(root / "regions.json", "w") as f:
+        json.dump(data, f)
+    with open(root / "splits.json", "w") as f:
+        json.dump({"train": [1, 2, 3, 4], "val": [5], "test": []}, f)
+    pp.main([
+        "--region_data", str(root / "regions.json"),
+        "--image_dir", str(img_dir),
+        "--split_json", str(root / "splits.json"),
+        "--h5_output", str(root / "d.h5"),
+        "--json_output", str(root / "d.json"),
+        "--image_size", "64", "--max_token_length", "5",
+        "--min_token_instances", "1", "--num_workers", "1",
+    ])
+    return root
+
+
+def test_train_cli_end_to_end(dataset, tmp_path):
+    from densecap_tpu.cli import train as train_cli
+
+    ckpt_prefix = str(tmp_path / "ck" / "densecap")
+    train_cli.main([
+        "--data_h5", str(dataset / "d.h5"),
+        "--data_json", str(dataset / "d.json"),
+        "--batch_size", "2",
+        "--max_gt_boxes", "4",
+        "--sampler_batch_size", "8",
+        "--rnn_size", "16",
+        "--input_encoding_size", "16",
+        "--learning_rate", "1e-4",
+        "--max_iters", "3",
+        "--save_checkpoint_every", "3",
+        "--val_images_use", "1",
+        "--checkpoint_path", ckpt_prefix,
+        "--losses_log_every", "1",
+    ])
+
+    # history json + params npz + orbax dir all written
+    with open(ckpt_prefix + ".json") as f:
+        hist = json.load(f)
+    assert hist["iter"] == 3
+    assert len(hist["loss_history"]) >= 3
+    assert "3" in {str(k) for k in hist["results_history"]}
+    assert os.path.exists(ckpt_prefix + ".npz")
+
+    from densecap_tpu.utils import checkpoint as ckpt
+
+    params, extra = ckpt.load_params(ckpt_prefix + ".npz")
+    meta = json.loads(str(extra["meta"]))
+    assert "config" in meta and "idx_to_token" in meta
