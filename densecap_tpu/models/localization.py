@@ -109,6 +109,8 @@ def localize_train(
         low_thresh=cfg.sampler_low_thresh,
         high_thresh=cfg.sampler_high_thresh,
         bounds=bounds,
+        candidate_mask=center_ok,  # padded-canvas anchors are never
+                                   # eligible, even with bounds removal off
     )
 
     pos_boxes = rpn_out.boxes[s.pos_input_idx]

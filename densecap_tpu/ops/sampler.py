@@ -83,12 +83,17 @@ def compute_match_masks(
     low_thresh: float = 0.3,
     high_thresh: float = 0.7,
     bounds=None,   # dict(x_min, y_min, x_max, y_max) or None
+    candidate_mask=None,  # (B1,) bool: hard-exclude non-candidates
 ):
     """Positive/negative eligibility masks + best-gt assignment.
 
     Returns (pos_mask, neg_mask, input_idx) mirroring BoxSampler's
     pos_mask/neg_mask instance state and per-input best-target index
     (BoxSampler.lua:70-128), with gt padding handled by masks.
+    candidate_mask hard-excludes rows (e.g. padded-canvas anchors) from
+    both sets independent of the bounds option; forced best-match
+    positives can still override it, like the reference's bounds
+    override (BoxSampler.lua:100-105).
     """
     B1 = input_boxes.shape[0]
     ious = iou_cwh(input_boxes, gt_boxes)          # (B1, B2)
@@ -114,6 +119,9 @@ def compute_match_masks(
         )
         pos_mask = pos_mask & ~oob
         neg_mask = neg_mask & ~oob
+    if candidate_mask is not None:
+        pos_mask = pos_mask & candidate_mask
+        neg_mask = neg_mask & candidate_mask
 
     # Force the best-match input box for every valid gt to be positive
     # (BoxSampler.lua:104-105), overriding thresholds and bounds.
@@ -142,6 +150,7 @@ def sample_rois(
     low_thresh: float = 0.3,
     high_thresh: float = 0.7,
     bounds=None,   # dict(x_min, y_min, x_max, y_max) or None
+    candidate_mask=None,
 ) -> SamplerOutput:
     """Sample positive/negative proposals against ground truth boxes."""
     P = batch_size // 2
@@ -154,6 +163,7 @@ def sample_rois(
         low_thresh=low_thresh,
         high_thresh=high_thresh,
         bounds=bounds,
+        candidate_mask=candidate_mask,
     )
 
     kp, kn = jax.random.split(key)
