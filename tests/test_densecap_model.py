@@ -178,3 +178,33 @@ def test_forward_train_debug_vars(tiny_setup):
     assert varsd["roi_boxes"].shape == (P + TINY.sampler_batch_size, 4)
     assert int(varsd["num_pos"]) >= 1
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_forward_train_zero_valid_gt():
+    """An image with no valid gt regions (possible with padded batches)
+    must produce finite losses and gradients, with all gt-dependent
+    losses exactly zero."""
+    params = densecap.init_params(jax.random.PRNGKey(0), TINY)
+    img = jax.random.normal(jax.random.PRNGKey(1), (96, 96, 3)) * 10
+    G = TINY.max_gt_boxes
+    gt_boxes = jnp.zeros((G, 4))
+    gt_labels = jnp.zeros((G, TINY.seq_length), jnp.int32)
+    gt_valid = jnp.zeros((G,), bool)
+
+    def loss_fn(p):
+        return densecap.forward_train(
+            p, img, jnp.float32(96), jnp.float32(96),
+            gt_boxes, gt_labels, gt_valid, jax.random.PRNGKey(2), TINY,
+        )
+
+    losses = loss_fn(params)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(losses["captioning_loss"]) == 0.0
+    assert float(losses["mid_box_reg_loss"]) == 0.0
+    assert float(losses["end_box_reg_loss"]) == 0.0
+    assert float(losses["stats/num_pos"]) == 0.0
+
+    g = jax.grad(lambda p: loss_fn(p)["total_loss"])(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
