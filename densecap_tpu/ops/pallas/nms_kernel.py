@@ -36,9 +36,6 @@ NEG_INF = -1e38
 def _make_kernel(T, C, Np, thresh):
     n_chunks = Np // C
 
-    def iou_tile_vs(blk):  # closure set per call below
-        pass
-
     def kernel(boxesT_ref, valid_ref, alive_ref):
         t = pl.program_id(0)
         start = pl.multiple_of(t * T, T)

@@ -73,6 +73,10 @@ class InferenceEngine:
     padded to the fixed batch with repeats — the production-throughput
     mode (~100 img/s/chip at batch 8). batch_size == 1 keeps the lowest
     latency and the smallest compile.
+
+    NOTE: temporal smoothing assumes a single video stream; with
+    micro-batching over multiple clients, disable it (smoothing=False)
+    or run one engine per stream.
     """
 
     def __init__(self, params, cfg: DenseCapConfig, idx_to_token,
