@@ -167,3 +167,23 @@ def decode_jpeg(path):
     if not ret:
         return None
     return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_jpeg_bytes(data):
+    """Decode JPEG bytes to (H, W, 3) uint8 RGB, or None on failure."""
+    lib = _load("dcio")
+    if lib is None:
+        raise RuntimeError("libdcio.so unavailable")
+    raw = np.frombuffer(data, np.uint8)
+    max_bytes = 8192 * 8192 * 3
+    buf = np.empty(max_bytes, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ret = lib.dcio_decode_jpeg_mem(
+        raw.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(len(raw)),
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(max_bytes),
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if not ret:
+        return None
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()

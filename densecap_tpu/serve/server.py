@@ -72,11 +72,20 @@ def make_handler(engine):
                     jpg = base64.b64decode(img_b64)
                 else:
                     jpg = body
-                from PIL import Image
+                rgb = None
+                try:  # native in-memory decode (native/dcio.cpp)
+                    from .. import native_lib
 
-                rgb = np.asarray(
-                    Image.open(io.BytesIO(jpg)).convert("RGB")
-                )
+                    if native_lib.is_available("dcio"):
+                        rgb = native_lib.decode_jpeg_bytes(jpg)
+                except Exception:
+                    rgb = None
+                if rgb is None:  # PIL fallback (also handles PNG etc)
+                    from PIL import Image
+
+                    rgb = np.asarray(
+                        Image.open(io.BytesIO(jpg)).convert("RGB")
+                    )
                 result = engine.process_array(rgb)
                 self._send(200, json.dumps(result).encode())
             except Exception as e:

@@ -9,6 +9,7 @@
 //
 // Build: make -C native (produces libdcio.so).
 
+#include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 
@@ -35,37 +36,72 @@ struct DecodedImage {
   bool ok = false;
 };
 
+// libjpeg's default fatal-error handler exit()s the process — fatal
+// for a serving path fed untrusted bytes. Replace it with longjmp back
+// into the decoder, which then reports ok=false.
+struct JmpErrorMgr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jmp_error_exit(j_common_ptr cinfo) {
+  JmpErrorMgr* err = reinterpret_cast<JmpErrorMgr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+DecodedImage decode_jpeg_common(jpeg_decompress_struct* cinfo,
+                                JmpErrorMgr* err) {
+  DecodedImage out;
+  if (setjmp(err->jb)) {
+    // fatal decode error: bail with ok=false (buffers are owned by
+    // `out` and freed normally; cinfo is destroyed by the caller)
+    out.ok = false;
+    return out;
+  }
+  if (jpeg_read_header(cinfo, TRUE) != JPEG_HEADER_OK) return out;
+  cinfo->out_color_space = JCS_RGB;
+  jpeg_start_decompress(cinfo);
+  out.w = cinfo->output_width;
+  out.h = cinfo->output_height;
+  if (out.w <= 0 || out.h <= 0 || int64_t(out.w) * out.h > 100000000)
+    return out;
+  out.rgb.resize(size_t(out.w) * out.h * 3);
+  while (cinfo->output_scanline < cinfo->output_height) {
+    uint8_t* row =
+        out.rgb.data() + size_t(cinfo->output_scanline) * out.w * 3;
+    jpeg_read_scanlines(cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(cinfo);
+  out.ok = true;
+  return out;
+}
+
 DecodedImage decode_jpeg_file(const char* path) {
   DecodedImage out;
   FILE* f = fopen(path, "rb");
   if (!f) return out;
 
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  // NOTE: libjpeg's default fatal handler exits the process; we accept
-  // that for this pipeline (inputs are files we wrote) — malformed
-  // headers are rejected below without reaching a fatal error.
-  cinfo.err = jpeg_std_error(&jerr);
+  JmpErrorMgr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jmp_error_exit;
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
-  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
-    jpeg_destroy_decompress(&cinfo);
-    fclose(f);
-    return out;
-  }
-  cinfo.out_color_space = JCS_RGB;
-  jpeg_start_decompress(&cinfo);
-  out.w = cinfo.output_width;
-  out.h = cinfo.output_height;
-  out.rgb.resize(size_t(out.w) * out.h * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = out.rgb.data() + size_t(cinfo.output_scanline) * out.w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
-  }
-  jpeg_finish_decompress(&cinfo);
+  out = decode_jpeg_common(&cinfo, &err);
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
-  out.ok = true;
+  return out;
+}
+
+DecodedImage decode_jpeg_mem(const uint8_t* data, size_t len) {
+  jpeg_decompress_struct cinfo;
+  JmpErrorMgr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jmp_error_exit;
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  DecodedImage out = decode_jpeg_common(&cinfo, &err);
+  jpeg_destroy_decompress(&cinfo);
   return out;
 }
 
@@ -206,6 +242,20 @@ int dcio_load_batch(const char** paths, int n, int canvas_size,
 int dcio_decode_jpeg(const char* path, uint8_t* out, long max_bytes,
                      int* h, int* w) {
   DecodedImage img = decode_jpeg_file(path);
+  if (!img.ok) return 0;
+  long need = long(img.h) * img.w * 3;
+  if (need > max_bytes) return 0;
+  std::memcpy(out, img.rgb.data(), size_t(need));
+  *h = img.h;
+  *w = img.w;
+  return 1;
+}
+
+// In-memory variant (serving ingest: decode POSTed JPEG bytes without
+// touching the filesystem).
+int dcio_decode_jpeg_mem(const uint8_t* data, long len, uint8_t* out,
+                         long max_bytes, int* h, int* w) {
+  DecodedImage img = decode_jpeg_mem(data, size_t(len));
   if (!img.ok) return 0;
   long need = long(img.h) * img.w * 3;
   if (need > max_bytes) return 0;

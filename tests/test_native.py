@@ -122,3 +122,22 @@ def test_load_batch_missing_file():
     )
     assert ok == 0
     assert hts[0] == 0 and np.all(canv == 0)
+
+
+def test_decode_jpeg_bytes():
+    if not native_lib.is_available("dcio"):
+        pytest.skip("libdcio unavailable")
+    import io
+
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:40, 0:50]
+    rgb = np.stack([(yy * 5) % 256, (xx * 4) % 256,
+                    ((yy + xx) * 3) % 256], -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=95)
+    dec = native_lib.decode_jpeg_bytes(buf.getvalue())
+    assert dec is not None and dec.shape == (40, 50, 3)
+    pil = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(dec, pil)  # same libjpeg, bit-identical
+    assert native_lib.decode_jpeg_bytes(b"not a jpeg") is None
