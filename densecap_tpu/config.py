@@ -9,6 +9,7 @@ nothing here is traced.
 from __future__ import annotations
 
 import dataclasses
+import json
 from typing import Any, Tuple
 
 import jax.numpy as jnp
@@ -102,11 +103,11 @@ class DenseCapConfig:
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
         d["compute_dtype"] = jnp.dtype(self.compute_dtype).name
-        return __import__("json").dumps(d)
+        return json.dumps(d)
 
     @classmethod
     def from_json(cls, s: str) -> "DenseCapConfig":
-        d = __import__("json").loads(s)
+        d = json.loads(s)
         d["compute_dtype"] = jnp.dtype(d["compute_dtype"]).type
         d["anchors"] = tuple(tuple(a) for a in d["anchors"])
         d["field_centers"] = tuple(d["field_centers"])
