@@ -8,6 +8,7 @@ overfit this in a few hundred steps. Run on TPU:
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/overfit_sanity.py
 """
 
+import sys
 import time
 
 import numpy as np
@@ -29,7 +30,8 @@ VOCAB = ["box"] + list(COLORS)  # 1-indexed tokens
 TOK = {w: i + 1 for i, w in enumerate(VOCAB)}
 IDX2TOK = {i + 1: w for i, w in enumerate(VOCAB)}
 
-S = 192
+FULL = "--full" in sys.argv  # flagship 720px config
+S = 720 if FULL else 192
 N_IMAGES = 16
 G = 4
 L = 3
@@ -42,13 +44,14 @@ def make_dataset(seed=0):
     gt_labels = np.zeros((N_IMAGES, G, L), np.int32)
     gt_valid = np.zeros((N_IMAGES, G), bool)
     texts = []
+    lo, hi = (60, 300) if FULL else (30, 80)  # box sizes match anchors
     for i in range(N_IMAGES):
         img = rng.uniform(90, 130, (S, S, 3)).astype(np.float32)
         names = []
         n = rng.randint(2, 4)
         for b in range(n):
             color = list(COLORS)[rng.randint(len(COLORS))]
-            w, h = rng.randint(30, 80, 2)
+            w, h = rng.randint(lo, hi, 2)
             x = rng.randint(1, S - w - 1)
             y = rng.randint(1, S - h - 1)
             img[y:y + h, x:x + w] = COLORS[color]
@@ -63,27 +66,40 @@ def make_dataset(seed=0):
 
 
 def main():
-    cfg = DenseCapConfig(
-        vocab_size=len(VOCAB),
-        seq_length=L,
-        image_size=S,
-        anchors=((32, 32), (64, 64), (48, 96), (96, 48), (96, 96)),
-        sampler_batch_size=64,
-        max_gt_boxes=G,
-        test_max_proposals=50,
-        test_pre_nms_topk=-1,
-        rnn_size=64,
-        rnn_encoding_size=64,
-        fc_dim=256,
-        rpn_num_filters=64,
-        drop_prob=0.0,
-    )
+    if FULL:
+        # flagship geometry: default 12 anchors, 4096-d recognition,
+        # 512-d LSTM — the exact serving configuration
+        cfg = DenseCapConfig(
+            vocab_size=len(VOCAB),
+            seq_length=L,
+            image_size=S,
+            sampler_batch_size=128,
+            max_gt_boxes=G,
+            test_max_proposals=50,
+            drop_prob=0.0,
+        )
+    else:
+        cfg = DenseCapConfig(
+            vocab_size=len(VOCAB),
+            seq_length=L,
+            image_size=S,
+            anchors=((32, 32), (64, 64), (48, 96), (96, 48), (96, 96)),
+            sampler_batch_size=64,
+            max_gt_boxes=G,
+            test_max_proposals=50,
+            test_pre_nms_topk=-1,
+            rnn_size=64,
+            rnn_encoding_size=64,
+            fc_dim=256,
+            rpn_num_filters=64,
+            drop_prob=0.0,
+        )
     images, gt_boxes, gt_labels, gt_valid, texts = make_dataset()
     images_d = jax.device_put(jnp.asarray(images))
 
     import optax
 
-    steps_total = 6000
+    steps_total = 1500 if FULL else 6000
     lr = optax.cosine_decay_schedule(3e-4, steps_total, alpha=0.02)
     state, tx = ts.init_state(jax.random.PRNGKey(0), cfg,
                               learning_rate=lr)
