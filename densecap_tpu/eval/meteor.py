@@ -64,45 +64,44 @@ def score_captions_fallback(records):
     return scores
 
 
+def _clean(s):
+    return s.replace("|||", "").replace("\n", " ").replace("  ", " ")
+
+
 def score_captions_meteor(records, jar):
     """Batch-score via one Java METEOR process in stdio mode.
 
-    METEOR's stdio protocol: lines 'SCORE ||| ref ||| cand' then
-    'EVAL ||| stats'; we use the simpler file mode: write candidate and
-    reference files and parse 'Segment ... score:' lines. Each record's
-    score is the max over its references, matching the bridge behavior.
+    Exactly the reference bridge's protocol (eval/meteor_bridge.py:
+    19-45): `java -jar -Xmx2G meteor-1.5.jar - - -stdio -l en -norm`,
+    one `SCORE ||| ref1 ||| ... ||| refN ||| hypothesis` line per record
+    followed by `EVAL ||| <stats>`; METEOR handles multi-reference
+    aggregation natively. Records with no references score 0.
     """
-    import tempfile
-
-    # expand: one (cand, ref) pair per line; track record ownership
-    pairs, owner = [], []
-    for i, rec in enumerate(records):
-        for ref in rec.get("references") or []:
-            pairs.append((rec.get("candidate", ""), ref))
-            owner.append(i)
+    proc = subprocess.Popen(
+        ["java", "-jar", "-Xmx2G", jar, "-", "-", "-stdio", "-l", "en",
+         "-norm"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.dirname(os.path.abspath(jar)) or None,
+    )
     scores = [0.0] * len(records)
-    if not pairs:
-        return scores
-
-    with tempfile.TemporaryDirectory() as td:
-        tst = os.path.join(td, "cand.txt")
-        ref = os.path.join(td, "ref.txt")
-        with open(tst, "w") as ft, open(ref, "w") as fr:
-            for c, r in pairs:
-                ft.write(c.replace("\n", " ") + "\n")
-                fr.write(r.replace("\n", " ") + "\n")
-        out = subprocess.run(
-            ["java", "-Xmx2G", "-jar", jar, tst, ref, "-l", "en",
-             "-norm"],
-            capture_output=True, text=True, check=True,
-        ).stdout
-        seg = [
-            float(line.split()[-1])
-            for line in out.splitlines()
-            if line.startswith("Segment ") and "score:" in line
-        ]
-    for s, i in zip(seg, owner):
-        scores[i] = max(scores[i], s)
+    try:
+        for i, rec in enumerate(records):
+            refs = [_clean(r) for r in (rec.get("references") or [])]
+            if not refs:
+                continue
+            hyp = _clean(rec.get("candidate", ""))
+            proc.stdin.write(
+                "SCORE ||| " + " ||| ".join(refs) + " ||| " + hyp + "\n"
+            )
+            proc.stdin.flush()
+            stats = proc.stdout.readline().strip()
+            proc.stdin.write(f"EVAL ||| {stats}\n")
+            proc.stdin.flush()
+            scores[i] = float(proc.stdout.readline().strip())
+    finally:
+        proc.stdin.close()
+        proc.wait()
     return scores
 
 
