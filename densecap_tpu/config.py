@@ -70,7 +70,11 @@ class DenseCapConfig:
     test_rpn_nms_thresh: float = 0.7
     test_final_nms_thresh: float = 0.3
     test_max_proposals: int = 1000
-    clip_final_boxes: bool = True
+    # NOTE: the reference DECLARES -clip_final_boxes (train_opts.lua:95)
+    # but never uses it anywhere — final boxes are NOT clipped. Default
+    # False for parity; True clips them to the image (and, through the
+    # reference's asymmetric corner conversions, shrinks w/h by 1).
+    clip_final_boxes: bool = False
     # NMS runs over only the top-K scored proposals (standard Faster
     # R-CNN practice; the reference scans all ~24k anchors serially).
     # -1 = all anchors (exact reference semantics); 6000 is

@@ -115,10 +115,19 @@ def test_forward_test_output(tiny_setup):
     assert out.valid.shape == (K,)
     assert int(out.num) == np.asarray(out.valid).sum()
     assert int(out.num) > 0
-    # all valid boxes lie within the true image extent (clipped)
+    # default (reference parity): final boxes are NOT clipped — near the
+    # image they stay near it, but regression may poke past the edge
     b = np.asarray(out.boxes)[np.asarray(out.valid)]
-    x1 = b[:, 0] - (b[:, 2] - 1) / 2
-    x2 = b[:, 0] + (b[:, 2] - 1) / 2
+    assert np.isfinite(b).all()
+
+    # with clip_final_boxes on, every valid box lies within the extent
+    out_c = densecap.forward_test(
+        params, img, jnp.float32(96), jnp.float32(80),
+        TINY.replace(clip_final_boxes=True),
+    )
+    bc = np.asarray(out_c.boxes)[np.asarray(out_c.valid)]
+    x1 = bc[:, 0] - (bc[:, 2] - 1) / 2
+    x2 = bc[:, 0] + (bc[:, 2] - 1) / 2
     assert (x1 >= 0.5).all() and (x2 <= 80.5).all()
 
 
