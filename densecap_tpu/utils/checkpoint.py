@@ -169,3 +169,76 @@ def convert_torch_vgg16(weights, out_hw=(7, 7)):
                 "b": weights["fc7.bias"].astype(np.float32)},
     }
     return trunk1, trunk2, recog
+
+
+def _conv_hwio(weights, name):
+    w = weights[f"{name}.weight"]                       # (Cout, Cin, kh, kw)
+    return {"w": np.transpose(w, (2, 3, 1, 0)).astype(np.float32).copy(),
+            "b": weights[f"{name}.bias"].astype(np.float32)}
+
+
+def _linear_t(weights, name):
+    w = weights[f"{name}.weight"]                       # (out, in) torch
+    return {"w": w.astype(np.float32).T.copy(),
+            "b": weights[f"{name}.bias"].astype(np.float32)}
+
+
+def convert_torch_densecap(weights, out_hw=(7, 7)):
+    """Full torch-layout DenseCap weights -> complete params pytree.
+
+    Input is the flat dict from t7_reader.extract_full_densecap_weights
+    (VGG names + rpn_conv/rpn_box/rpn_score, objectness, box_reg,
+    lm_image_encoder, lm_lookup, lm_lstm, lm_proj). Returns
+    (params, info) where params matches models.densecap.init_params and
+    info carries dimensions derived from the tensors themselves
+    (vocab_size, num_anchors, rnn sizes) for config validation.
+
+    Layout mapping per tensor:
+      * convs: torch (Cout, Cin, kh, kw) -> HWIO (identical channel
+        semantics: both frameworks group the box/score head channels as
+        (anchor, dim) — ReshapeBoxFeatures.lua:30 `view(N, k, D, H, W)`
+        vs ops/transforms.reshape_box_features's `.reshape(H, W, k, D)`).
+      * Linears: torch (out, in) -> ours (in, out) transpose.
+      * LookupTable: (V+2, W) copied as-is (row token-1 indexing both).
+      * torch-rnn nn.LSTM: one fused (D+H, 4H) weight, gate order
+        (i, f, o, g); rows 0..D-1 are Wx, rows D.. are Wh — our cell
+        keeps the same gate order (models/lstm.py:_lstm_step) so the
+        split is a plain row slice.
+    """
+    trunk1, trunk2, recog = convert_torch_vgg16(weights, out_hw=out_hw)
+
+    rpn = {"conv": _conv_hwio(weights, "rpn_conv"),
+           "box": _conv_hwio(weights, "rpn_box"),
+           "score": _conv_hwio(weights, "rpn_score")}
+
+    enc_w = weights["lm_image_encoder.weight"]          # (W, D)
+    W_enc = enc_w.shape[0]
+    lstm_w = weights["lm_lstm.weight"].astype(np.float32)   # (D+H, 4H)
+    H_rnn = lstm_w.shape[1] // 4
+    lm = {
+        "img_enc": _linear_t(weights, "lm_image_encoder"),
+        "embed": weights["lm_lookup.weight"].astype(np.float32).copy(),
+        "lstm": {"Wx": lstm_w[:W_enc].copy(),
+                 "Wh": lstm_w[W_enc:].copy(),
+                 "b": weights["lm_lstm.bias"].astype(np.float32)},
+        "proj": _linear_t(weights, "lm_proj"),
+    }
+
+    params = {
+        "trunk1": trunk1,
+        "trunk2": trunk2,
+        "rpn": rpn,
+        "recog": recog,
+        "objectness": _linear_t(weights, "objectness"),
+        "box_reg": _linear_t(weights, "box_reg"),
+        "lm": lm,
+    }
+    info = {
+        "vocab_size": int(weights["lm_lookup.weight"].shape[0] - 2),
+        "num_anchors": int(weights["rpn_box.weight"].shape[0] // 4),
+        "rpn_num_filters": int(weights["rpn_conv.weight"].shape[0]),
+        "rnn_size": int(H_rnn),
+        "rnn_encoding_size": int(W_enc),
+        "fc_dim": int(weights["fc7.weight"].shape[0]),
+    }
+    return params, info

@@ -197,6 +197,8 @@ class T7Reader:
         dtype = np.dtype(_STORAGE_DTYPES[cls])
         n = self.read_long()
         data = self.f.read(n * dtype.itemsize)
+        if len(data) != n * dtype.itemsize:
+            raise EOFError("truncated t7 file (storage payload cut short)")
         return np.frombuffer(data, dtype=dtype).copy()
 
 
@@ -234,11 +236,42 @@ def _sequential_convs_linears(seq):
     out = []
     for m in seq.get("modules", []):
         cls = getattr(m, "torch_class", "")
-        if "SpatialConvolution" in cls or cls.endswith("Linear"):
+        if "SpatialConvolution" in cls:
+            out.append((_conv_weight_4d(m), np.asarray(m["bias"])))
+        elif cls.endswith("Linear"):
             out.append((np.asarray(m["weight"]), np.asarray(m["bias"])))
         elif isinstance(m, TorchObject) and "modules" in m:
             out.extend(_sequential_convs_linears(m))
     return out
+
+
+def _model_nets(checkpoint):
+    model = checkpoint
+    if isinstance(checkpoint, dict) and "model" in checkpoint:
+        model = checkpoint["model"]
+    nets = model.get("nets") if isinstance(model, TorchObject) else None
+    if nets is None:
+        raise ValueError("could not find model.nets in the checkpoint")
+    return nets
+
+
+def _conv_weight_4d(module):
+    """Return a conv module's weight as (Cout, Cin, kh, kw).
+
+    nn.SpatialConvolutionMM (and de-cudnnified convs in some torch
+    versions) store the weight flattened as (Cout, Cin*kh*kw); the
+    module's kW/kH/nInputPlane fields recover the 4-d shape.
+    """
+    w = np.asarray(module["weight"])
+    if w.ndim == 4:
+        return w
+    if w.ndim == 2:
+        kw = int(module.get("kW", 0))
+        kh = int(module.get("kH", 0))
+        cin = int(module.get("nInputPlane", 0))
+        if kw and kh and cin and w.shape[1] == cin * kh * kw:
+            return w.reshape(w.shape[0], cin, kh, kw)
+    raise ValueError(f"cannot interpret conv weight of shape {w.shape}")
 
 
 def extract_densecap_weights(checkpoint):
@@ -250,12 +283,7 @@ def extract_densecap_weights(checkpoint):
     DenseCapModel.lua:61-67: conv_net1 = conv1_1..conv2_2 (4 convs),
     conv_net2 = conv3_1..conv5_3 (9 convs), recog_base = fc6, fc7.
     """
-    model = checkpoint
-    if isinstance(checkpoint, dict) and "model" in checkpoint:
-        model = checkpoint["model"]
-    nets = model.get("nets") if isinstance(model, TorchObject) else None
-    if nets is None:
-        raise ValueError("could not find model.nets in the checkpoint")
+    nets = _model_nets(checkpoint)
 
     conv1 = _sequential_convs_linears(nets["conv_net1"])
     conv2 = _sequential_convs_linears(nets["conv_net2"])
@@ -284,3 +312,127 @@ def extract_densecap_weights(checkpoint):
         weights[f"{name}.weight"] = w
         weights[f"{name}.bias"] = b
     return weights
+
+
+def _find_modules(obj, predicate):
+    return [m for m in _iter_modules(obj) if predicate(m)]
+
+
+def extract_full_densecap_weights(checkpoint):
+    """Extract EVERY learned tensor from a loaded DenseCap t7 checkpoint.
+
+    Unlike extract_densecap_weights (VGG trunk/FC only), this also maps:
+
+      * the RPN conv stack (LocalizationLayer.lua:609-690): the 3x3
+        conv(512->rpn_num_filters), the 1x1 box head (4k channels) and
+        the 1x1 score head (2k channels), found inside
+        model.nets.localization_layer.nets.rpn in depth-first order
+        (conv, box_branch conv, rpn_branch conv);
+      * the final objectness/box-reg Linears (DenseCapModel.lua:93-100);
+      * the whole LanguageModel (LanguageModel.lua:27-61): image_encoder
+        Linear(4096->512), LookupTable(V+2, W), the torch-rnn nn.LSTM
+        (one fused weight (D+H, 4H) + bias, gate order i,f,o,g) and the
+        output projection Linear(H -> V+1).
+
+    Returns a flat {name: torch-layout array} dict (see the key list in
+    checkpoint.convert_torch_densecap, which consumes it).
+    """
+    weights = dict(extract_densecap_weights(checkpoint))
+    nets = _model_nets(checkpoint)
+
+    # --- RPN (3 convs, depth-first: 3x3 trunk conv, box head, score head)
+    loc = nets["localization_layer"]
+    rpn_seq = loc["nets"]["rpn"]
+    rpn_convs = _find_modules(
+        rpn_seq, lambda m: "SpatialConvolution" in m.torch_class)
+    if len(rpn_convs) != 3:
+        raise ValueError(f"expected 3 RPN convs, found {len(rpn_convs)}")
+    conv_w = _conv_weight_4d(rpn_convs[0])
+    box_w = _conv_weight_4d(rpn_convs[1])
+    score_w = _conv_weight_4d(rpn_convs[2])
+    nf = conv_w.shape[0]
+    if conv_w.shape[2:] != (3, 3):
+        raise ValueError(f"RPN conv kernel {conv_w.shape} is not 3x3")
+    if box_w.shape[0] % 4 or box_w.shape[1] != nf:
+        raise ValueError(f"RPN box head shape {box_w.shape} unexpected")
+    if score_w.shape[0] % 2 or score_w.shape[1] != nf:
+        raise ValueError(f"RPN score head shape {score_w.shape} unexpected")
+    if box_w.shape[0] // 4 != score_w.shape[0] // 2:
+        raise ValueError("box/score heads disagree on anchor count")
+    weights["rpn_conv.weight"] = conv_w
+    weights["rpn_conv.bias"] = np.asarray(rpn_convs[0]["bias"])
+    weights["rpn_box.weight"] = box_w
+    weights["rpn_box.bias"] = np.asarray(rpn_convs[1]["bias"])
+    weights["rpn_score.weight"] = score_w
+    weights["rpn_score.bias"] = np.asarray(rpn_convs[2]["bias"])
+
+    # --- final branches (DenseCapModel.lua:93-100)
+    for key, net_name, out_dim in (("objectness", "objectness_branch", 1),
+                                   ("box_reg", "box_reg_branch", 4)):
+        mod = nets[net_name]
+        w = np.asarray(mod["weight"])
+        if w.ndim != 2 or w.shape[0] != out_dim:
+            raise ValueError(f"{net_name}: weight shape {w.shape}")
+        weights[f"{key}.weight"] = w
+        weights[f"{key}.bias"] = np.asarray(mod["bias"])
+
+    # --- language model (LanguageModel.lua:27-61)
+    lm = nets["language_model"]
+    enc_linears = _find_modules(
+        lm["image_encoder"], lambda m: m.torch_class.endswith("Linear"))
+    if len(enc_linears) != 1:
+        raise ValueError("expected exactly one image_encoder Linear")
+    weights["lm_image_encoder.weight"] = np.asarray(enc_linears[0]["weight"])
+    weights["lm_image_encoder.bias"] = np.asarray(enc_linears[0]["bias"])
+
+    lookup = lm["lookup_table"]
+    weights["lm_lookup.weight"] = np.asarray(lookup["weight"])  # (V+2, W)
+
+    lstms = _find_modules(lm["rnn"], lambda m: m.torch_class.endswith("LSTM"))
+    projs = _find_modules(
+        lm["rnn"], lambda m: m.torch_class.endswith("Linear"))
+    if len(lstms) != 1 or len(projs) != 1:
+        raise ValueError(
+            f"expected 1 LSTM + 1 Linear in lm.rnn, "
+            f"found {len(lstms)}/{len(projs)} (num_layers>1 unsupported)")
+    lw = np.asarray(lstms[0]["weight"])   # (D+H, 4H) torch-rnn fused
+    lb = np.asarray(lstms[0]["bias"])     # (4H,)
+    pw = np.asarray(projs[0]["weight"])   # (V+1, H)
+    W_enc = weights["lm_image_encoder.weight"].shape[0]
+    H_rnn = lw.shape[1] // 4
+    if lw.shape[0] != W_enc + H_rnn:
+        raise ValueError(
+            f"LSTM weight shape {lw.shape} inconsistent with "
+            f"input_encoding_size={W_enc}")
+    V_plus_2 = weights["lm_lookup.weight"].shape[0]
+    if pw.shape != (V_plus_2 - 1, H_rnn):
+        raise ValueError(f"projection shape {pw.shape}, expected "
+                         f"({V_plus_2 - 1}, {H_rnn})")
+    weights["lm_lstm.weight"] = lw
+    weights["lm_lstm.bias"] = lb
+    weights["lm_proj.weight"] = pw
+    weights["lm_proj.bias"] = np.asarray(projs[0]["bias"])
+    return weights
+
+
+def extract_idx_to_token(checkpoint):
+    """The vocabulary stored inside the checkpoint's LanguageModel
+    (LanguageModel.lua:20 keeps opt.idx_to_token on the module), as
+    {int: str}. Returns {} if absent."""
+    nets = _model_nets(checkpoint)
+    lm = nets.get("language_model") if isinstance(nets, dict) else None
+    if lm is None:
+        return {}
+    mapping = lm.get("idx_to_token")
+    if isinstance(mapping, list):
+        # a contiguous 1..V lua table deserializes as a python list
+        return {i + 1: str(v) for i, v in enumerate(mapping)}
+    if not isinstance(mapping, dict):
+        return {}
+    out = {}
+    for k, v in mapping.items():
+        try:
+            out[int(k)] = str(v)
+        except (TypeError, ValueError):
+            continue
+    return out
