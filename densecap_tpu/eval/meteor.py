@@ -68,6 +68,14 @@ def _clean(s):
     return s.replace("|||", "").replace("\n", " ").replace("  ", " ")
 
 
+def _meteor_cmd(jar):
+    """The exact invocation of the reference bridge
+    (eval/meteor_bridge.py:19-25). Tests substitute this to point the
+    unchanged protocol loop at a scripted fake process."""
+    return ["java", "-jar", "-Xmx2G", jar, "-", "-", "-stdio", "-l", "en",
+            "-norm"]
+
+
 def score_captions_meteor(records, jar):
     """Batch-score via one Java METEOR process in stdio mode.
 
@@ -78,8 +86,7 @@ def score_captions_meteor(records, jar):
     aggregation natively. Records with no references score 0.
     """
     proc = subprocess.Popen(
-        ["java", "-jar", "-Xmx2G", jar, "-", "-", "-stdio", "-l", "en",
-         "-norm"],
+        _meteor_cmd(jar),
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True,
         cwd=os.path.dirname(os.path.abspath(jar)) or None,
