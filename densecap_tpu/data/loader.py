@@ -83,10 +83,24 @@ class DenseCapLoader:
 
     # --------------------------------------------------------------------
     def _load_image(self, ix):
-        """Canvas image (S, S, 3) float32 HWC BGR, mean-subtracted."""
+        """Canvas image (S, S, 3) float32 HWC BGR, mean-subtracted.
+
+        Padding convention: ZERO after mean subtraction — identical to
+        the serving path (utils/image.py:preprocess_for_model), so a
+        model sees the same boundary statistics in training and
+        inference. (The h5 stores zero PIXELS in the pad region; naive
+        whole-canvas subtraction would leave -mean there. Measured
+        consequence of mixing the two conventions: see
+        doc/DESIGN.md 'Canvas boundary effects'.)
+        """
         chw = self.h5["images"][ix].astype(np.float32)  # (3, S, S) BGR
         chw -= self.vgg_mean
-        return chw.transpose(1, 2, 0)
+        img = np.ascontiguousarray(chw.transpose(1, 2, 0))
+        h = int(self.image_heights[ix])
+        w = int(self.image_widths[ix])
+        img[h:, :, :] = 0.0
+        img[:, w:, :] = 0.0
+        return img
 
     def get_example(self, split=0, iterate=True):
         """One padded example dict (host numpy)."""

@@ -104,8 +104,12 @@ def _linear(p, x, compute_dtype):
     ) + p["b"]
 
 
-def features(params, image, cfg: DenseCapConfig):
+def features(params, image, cfg: DenseCapConfig, img_h=None, img_w=None):
     """Conv trunk: (H, W, 3) image -> (H/16, W/16, 512) features.
+
+    img_h/img_w: true image extent on the padded canvas. When given,
+    padding activations are zeroed after every conv/pool so the canvas
+    run is EXACTLY the reference's cropped run (see apply_trunk).
 
     With cfg.remat_trunk the trunk recomputes activations in the
     backward pass (jax.checkpoint) instead of keeping ~350 MB/image of
@@ -113,15 +117,20 @@ def features(params, image, cfg: DenseCapConfig):
     had no equivalent for.
     """
 
-    def run(p1, p2, img):
+    def run(p1, p2, img, eh, ew):
         x = img[None]
-        x = apply_trunk(p1, TRUNK1_CFG, x, cfg.compute_dtype)
-        x = apply_trunk(p2, TRUNK2_CFG, x, cfg.compute_dtype)
+        x = apply_trunk(p1, TRUNK1_CFG, x, cfg.compute_dtype,
+                        valid_h=eh, valid_w=ew)
+        x = apply_trunk(p2, TRUNK2_CFG, x, cfg.compute_dtype,
+                        valid_h=eh if eh is None else jnp.floor(
+                            jnp.asarray(eh, jnp.float32) / 4.0),
+                        valid_w=ew if ew is None else jnp.floor(
+                            jnp.asarray(ew, jnp.float32) / 4.0))
         return x[0]
 
     if cfg.remat_trunk:
-        run = jax.checkpoint(run)
-    return run(params["trunk1"], params["trunk2"], image)
+        run = jax.checkpoint(run)  # None extents are empty pytree leaves
+    return run(params["trunk1"], params["trunk2"], image, img_h, img_w)
 
 
 def forward_train(params, image, img_h, img_w, gt_boxes, gt_labels,
@@ -136,7 +145,7 @@ def forward_train(params, image, img_h, img_w, gt_boxes, gt_labels,
     plus the RPN mid losses computed inside the localization layer.
     """
     k_sample, k_drop = jax.random.split(rng)
-    feats = features(params, image, cfg)
+    feats = features(params, image, cfg, img_h, img_w)
 
     loc = localize_train(
         params["rpn"], feats, img_h, img_w,
@@ -209,7 +218,7 @@ def forward_test(params, image, img_h, img_w, cfg: DenseCapConfig,
     """
     final_nms = (cfg.test_final_nms_thresh if final_nms_thresh is None
                  else final_nms_thresh)
-    feats = features(params, image, cfg)
+    feats = features(params, image, cfg, img_h, img_w)
     loc = localize_test(
         params["rpn"], feats, img_h, img_w, cfg, cfg.anchor_array(),
         nms_thresh=rpn_nms_thresh, max_proposals=max_proposals,
@@ -271,7 +280,7 @@ def forward_train_debug(params, image, img_h, img_w, gt_boxes, gt_labels,
     positive/negative boxes with their masks. jit-safe (all arrays).
     """
     k_sample, _ = jax.random.split(rng)
-    feats = features(params, image, cfg)
+    feats = features(params, image, cfg, img_h, img_w)
     loc = localize_train(
         params["rpn"], feats, img_h, img_w,
         gt_boxes, gt_labels, gt_valid, k_sample, cfg, cfg.anchor_array(),
@@ -314,7 +323,7 @@ def extract_features(params, image, img_h, img_w, cfg: DenseCapConfig,
     Port of DenseCapModel:extractFeatures (DenseCapModel.lua:285-304) /
     extract_features.lua defaults (100 boxes, nms 0.4).
     """
-    feats = features(params, image, cfg)
+    feats = features(params, image, cfg, img_h, img_w)
     loc = localize_test(
         params["rpn"], feats, img_h, img_w, cfg, cfg.anchor_array())
     roi_codes = apply_recog(

@@ -85,14 +85,49 @@ def max_pool_2x2(x):
     )
 
 
-def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16):
-    """Run a conv stack. x: (N, H, W, C) f32. Returns f32 activations."""
+def _extent_mask(H, W, eh, ew, dtype):
+    """(H, W, 1) mask: 1 inside the valid (eh, ew) extent, 0 in padding."""
+    rows = jnp.arange(H, dtype=jnp.float32) < eh
+    cols = jnp.arange(W, dtype=jnp.float32) < ew
+    return (rows[:, None] & cols[None, :])[..., None].astype(dtype)
+
+
+def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
+                valid_h=None, valid_w=None):
+    """Run a conv stack. x: (N, H, W, C) f32. Returns f32 activations.
+
+    valid_h/valid_w (python or traced scalars): true image extent on a
+    padded canvas. When given, activations beyond the extent are zeroed
+    after EVERY conv, so each conv's SAME padding reads exactly the
+    zeros a cropped-image run would read from its zero padding — the
+    canvas run then equals the reference's cropped run EXACTLY (not
+    approximately; asserted by tests/test_canvas_vs_cropped.py). The
+    extent floor-halves at each pool, mirroring torch SpatialMaxPooling
+    sizing. Cost: one fused elementwise multiply per conv.
+    """
+    eh, ew = valid_h, valid_w
+    masked = valid_h is not None
     for item in cfg:
         if item == "M":
             x = max_pool_2x2(x)
+            if masked:
+                # floor-halve the extent AND re-mask: the pooled cell
+                # just past the floored extent covers a partial window
+                # of valid data (e.g. valid width 33 -> pooled col 16
+                # reads original col 32) and must not leak into the
+                # next conv's edge reads.
+                eh = jnp.floor(eh / 2.0) if hasattr(eh, "dtype") \
+                    else float(int(eh) // 2)
+                ew = jnp.floor(ew / 2.0) if hasattr(ew, "dtype") \
+                    else float(int(ew) // 2)
+                x = x * _extent_mask(x.shape[1], x.shape[2], eh, ew,
+                                     x.dtype)
         else:
             name, _ = item
             x = jax.nn.relu(conv2d_same(x, params[name], compute_dtype))
+            if masked:
+                x = x * _extent_mask(x.shape[1], x.shape[2], eh, ew,
+                                     x.dtype)
     return x
 
 

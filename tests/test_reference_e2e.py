@@ -265,12 +265,17 @@ def _np_lm_greedy(weights, codes, vocab, T):
 
 
 def _np_forward_test(weights, cfg, image):
-    """The whole reference inference pass, imperative and dynamic."""
+    """The whole reference inference pass, imperative and dynamic.
+
+    image is the CROPPED (h, w, 3) image, exactly what the reference
+    feeds its convs (DataLoader crops out of the h5 canvas /
+    run_model.lua loads the raw image)."""
+    h, w = image.shape[:2]
     feats = _np_trunk(weights, image)
     anchors = np.asarray(cfg.anchors, np.float32) * cfg.anchor_scale
     boxes, rpn_scores = _np_rpn(weights, feats, anchors, cfg.field_centers)
 
-    boxes, valid = _np_clip(boxes, S, S)
+    boxes, valid = _np_clip(boxes, w, h)
     e = np.exp(rpn_scores - rpn_scores.max(axis=1, keepdims=True))
     probs = (e / e.sum(axis=1, keepdims=True))[:, 0]
     probs = np.where(valid, probs, -np.inf)
@@ -278,7 +283,7 @@ def _np_forward_test(weights, cfg, image):
     keep = _np_greedy_nms(boxes, probs, cfg.test_rpn_nms_thresh,
                           K_PROPOSALS)
     roi_boxes = boxes[keep]
-    pooled = _np_roi_align(feats, roi_boxes, S, S)   # (P, C, 7, 7)
+    pooled = _np_roi_align(feats, roi_boxes, h, w)   # (P, C, 7, 7)
 
     flat = pooled.reshape(len(keep), -1)             # channel-major
     h1 = np.maximum(flat @ weights["fc6.weight"].T
@@ -300,15 +305,25 @@ def _np_forward_test(weights, cfg, image):
     return final_boxes, obj, captions
 
 
-def test_forward_test_matches_reference_transliteration(setup):
+@pytest.mark.parametrize("h,w", [
+    (S, S),     # image fills the canvas (no padding in play)
+    (48, 33),   # padded canvas; odd width exercises the pool floor chain
+])
+def test_forward_test_matches_reference_transliteration(setup, h, w):
+    """The jitted CANVAS run must equal the reference's CROPPED run
+    exactly — the per-conv extent masking in apply_trunk makes padded
+    activations identical to the cropped run's zero padding."""
     weights, params, cfg, image = setup
+    canvas = np.zeros_like(image)
+    canvas[:h, :w] = image[:h, :w]
 
-    ref_boxes, ref_scores, ref_caps = _np_forward_test(weights, cfg, image)
+    ref_boxes, ref_scores, ref_caps = _np_forward_test(
+        weights, cfg, image[:h, :w].copy())
 
     out = jax.jit(
         lambda p, im: densecap.forward_test(
-            p, im, float(S), float(S), cfg)
-    )(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(image))
+            p, im, float(h), float(w), cfg)
+    )(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(canvas))
 
     n = int(out.num)
     assert n == len(ref_boxes), (n, len(ref_boxes))
