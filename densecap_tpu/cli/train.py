@@ -129,16 +129,32 @@ def main(argv=None):
         lr = optax.cosine_decay_schedule(
             args.learning_rate, args.cosine_decay_steps, alpha=0.02
         )
+    # mesh-aware init: params are TP-padded + sharded BEFORE the adam
+    # state is created so m/v match (vocab padding, mesh.pad_params_for_tp).
+    # NOTE: resume restores into the padded/sharded template — resuming
+    # requires the same --model_parallel the checkpoint was written with
+    # (doc/PARALLELISM.md).
     state, tx = ts.init_state(
-        key, cfg, learning_rate=lr,
+        key, cfg, learning_rate=lr, mesh=mesh,
         beta1=args.optim_beta1, beta2=args.optim_beta2,
         eps=args.optim_epsilon,
     )
     if args.checkpoint_start_from:
+        template = state
         state = ckpt.load_train_state(args.checkpoint_start_from, state)
+
+        def _put_like(x, tmpl):
+            if isinstance(tmpl, jax.Array):
+                return jax.device_put(x, tmpl.sharding)
+            return x
+
+        state = state._replace(
+            params=meshlib.shard_params(state.params, mesh),
+            opt_state=jax.tree_util.tree_map(
+                _put_like, state.opt_state, template.opt_state),
+        )
         print(f"resumed from {args.checkpoint_start_from} "
               f"at step {int(state.step)}")
-    state = state._replace(params=meshlib.shard_params(state.params, mesh))
 
     if args.canvas_buckets:
         from ..data.loader import BucketedLoader

@@ -250,11 +250,10 @@ def forward_test(params, image, img_h, img_w, cfg: DenseCapConfig,
 
     lmc = lm_config(cfg)
     if use_beam > 0:
-        captions = lstm.beamsearch(
+        captions, cap_lps = lstm.beamsearch(
             params["lm"], roi_codes, lmc, beam_size=use_beam,
-            compute_dtype=cfg.compute_dtype,
+            compute_dtype=cfg.compute_dtype, return_logprobs=True,
         )
-        cap_lps = jnp.zeros(captions.shape, jnp.float32)
     else:
         captions, cap_lps = lstm.sample_with_logprobs(
             params["lm"], roi_codes, lmc, compute_dtype=cfg.compute_dtype,

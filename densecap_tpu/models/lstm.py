@@ -95,8 +95,17 @@ def _encode_image(params, vectors, compute_dtype):
 
 def _project(params, h, compute_dtype):
     p = params["proj"]
-    return jnp.dot(h.astype(compute_dtype), p["w"].astype(compute_dtype),
-                   preferred_element_type=jnp.float32) + p["b"]
+    logits = jnp.dot(h.astype(compute_dtype), p["w"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32) + p["b"]
+    # Under tensor parallelism the vocab dim is zero-padded to a multiple
+    # of the model axis (parallel/mesh.py:pad_params_for_tp); mask padded
+    # classes so argmax/top_k/softmax never see them. The true V+1 is
+    # recoverable from the (never padded) V+2-row embed table.
+    true_w = params["embed"].shape[0] - 1
+    if p["w"].shape[-1] > true_w:
+        mask = jnp.arange(p["w"].shape[-1]) < true_w
+        logits = jnp.where(mask, logits, -1e30)
+    return logits
 
 
 def forward_train(params, image_vectors, gt_seq, cfg: LMConfig,
@@ -209,7 +218,7 @@ def sample_with_logprobs(params, image_vectors, cfg: LMConfig,
 
 
 def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
-               compute_dtype=jnp.float32):
+               compute_dtype=jnp.float32, return_logprobs=False):
     """Batched beam search (LanguageModel.lua:170-290).
 
     The reference runs one image at a time, using the minibatch dim for
@@ -217,7 +226,9 @@ def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
     Matches the reference's scoring quirk: once a beam emits END, later
     steps contribute 0 logprob (not -inf), LanguageModel.lua:242-245.
 
-    Returns (P, T) int32 tokens.
+    Returns (P, T) int32 tokens; with return_logprobs also the winning
+    beam's per-token logprobs (P, T) f32 (0 past END, per the quirk) —
+    their sum is the beam score.
     """
     V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
     B = beam_size
@@ -238,11 +249,12 @@ def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
         beam_lp, idx0 = lax.top_k(logp, B)
         beams = jnp.ones((B, T), dtype=jnp.int32)
         beams = beams.at[:, 0].set((idx0 + 1).astype(jnp.int32))
+        lp_hist = jnp.zeros((B, T), jnp.float32).at[:, 0].set(beam_lp)
         hB = jnp.broadcast_to(h, (B, H))
         cB = jnp.broadcast_to(c, (B, H))
 
         def step(carry, t):
-            beams, beam_lp, h, c = carry
+            beams, beam_lp, lp_hist, h, c = carry
             words = beams[jnp.arange(B), t - 1]
             x = _embed(params, words)
             h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
@@ -259,11 +271,18 @@ def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
             new_beams = beams[src_beam].at[:, t].set(
                 (word0 + 1).astype(jnp.int32)
             )
-            return (new_beams, new_lp, h2[src_beam], c2[src_beam]), None
+            step_lp = new_lp - beam_lp[src_beam]  # chosen word's logprob
+            new_hist = lp_hist[src_beam].at[:, t].set(step_lp)
+            return (new_beams, new_lp, new_hist,
+                    h2[src_beam], c2[src_beam]), None
 
-        (beams, beam_lp, _, _), _ = lax.scan(
-            step, (beams, beam_lp, hB, cB), jnp.arange(1, T)
+        (beams, beam_lp, lp_hist, _, _), _ = lax.scan(
+            step, (beams, beam_lp, lp_hist, hB, cB), jnp.arange(1, T)
         )
-        return beams[jnp.argmax(beam_lp)]
+        best = jnp.argmax(beam_lp)
+        return beams[best], lp_hist[best]
 
-    return jax.vmap(one_image)(img_vecs)
+    seq, lps = jax.vmap(one_image)(img_vecs)
+    if return_logprobs:
+        return seq, lps
+    return seq

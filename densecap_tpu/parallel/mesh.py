@@ -18,6 +18,7 @@ pytree; XLA inserts the all-gathers/reduce-scatters.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -61,7 +62,48 @@ def param_pspecs(params):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def pad_params_for_tp(params, model_size: int):
+    """Zero-pad TP-sharded dims to multiples of the model axis.
+
+    NamedSharding requires sharded dims to divide evenly; the LM vocab
+    projection's V+1 dim is data-dependent (e.g. the real VG vocab gives
+    10498, which 4 does not divide), so it is padded here and the
+    padded logit columns are masked to -inf inside the model
+    (models/lstm.py:_project — the embed table's V+2 rows carry the true
+    size). fc6/fc7 shard their 4096-wide output dims, which every
+    realistic model axis divides; a non-divisible dim anywhere else is a
+    configuration error and raises with the offending leaf named.
+    """
+    if model_size == 1:
+        return params
+    specs = param_pspecs(params)
+
+    def prep(path, x, spec):
+        for axis, name in enumerate(spec):
+            if name != "model":
+                continue
+            rem = (-x.shape[axis]) % model_size
+            if rem == 0:
+                continue
+            keys = [getattr(p, "key", None) for p in path]
+            if "lm" in keys and "proj" in keys:
+                pad = [(0, 0)] * x.ndim
+                pad[axis] = (0, rem)
+                x = jnp.pad(x, pad)
+            else:
+                raise ValueError(
+                    f"param {'/'.join(str(k) for k in keys)}: dim {axis} "
+                    f"of size {x.shape[axis]} is TP-sharded but not "
+                    f"divisible by model axis {model_size}"
+                )
+        return x
+
+    return jax.tree_util.tree_map_with_path(prep, params, specs)
+
+
 def shard_params(params, mesh: Mesh):
+    """Pad (vocab projection) + place params by their PartitionSpecs."""
+    params = pad_params_for_tp(params, mesh.shape["model"])
     specs = param_pspecs(params)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs

@@ -75,8 +75,22 @@ def batched_loss(params, batch, rng, cfg: DenseCapConfig):
     return jax.tree_util.tree_map(jnp.mean, losses)
 
 
-def init_state(key, cfg: DenseCapConfig, learning_rate=1e-5, **opt_kw):
-    params = densecap.init_params(key, cfg)
+def init_state(key, cfg: DenseCapConfig, learning_rate=1e-5, mesh=None,
+               params=None, **opt_kw):
+    """Build (TrainState, optimizer).
+
+    mesh: optional ('data','model') Mesh — params are TP-padded and
+    sharded BEFORE the optimizer state is created, so adam's m/v mirror
+    the padded shapes and inherit the shardings (zeros_like preserves
+    sharding). params: optional pre-built pytree (e.g. a converted
+    checkpoint) instead of fresh initialization.
+    """
+    if params is None:
+        params = densecap.init_params(key, cfg)
+    if mesh is not None:
+        from . import mesh as meshlib
+
+        params = meshlib.shard_params(params, mesh)
     tx = make_optimizer(cfg, learning_rate, **opt_kw)
     return TrainState(
         params=params,

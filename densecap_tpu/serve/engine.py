@@ -81,7 +81,7 @@ class InferenceEngine:
 
     def __init__(self, params, cfg: DenseCapConfig, idx_to_token,
                  max_boxes=50, smoothing=True, batch_size=1,
-                 batch_window_ms=5.0):
+                 batch_window_ms=5.0, request_timeout_s=60.0):
         self.params = jax.device_put(params)
         self.cfg = cfg
         self.idx_to_token = idx_to_token
@@ -90,6 +90,7 @@ class InferenceEngine:
         self.lock = threading.Lock()
         self.batch_size = int(batch_size)
         self.batch_window = batch_window_ms / 1000.0
+        self.request_timeout = float(request_timeout_s)
 
         if self.batch_size > 1:
             self._fwd_batch = jax.jit(
@@ -113,6 +114,9 @@ class InferenceEngine:
 
     # ---- micro-batching ---------------------------------------------------
     def _batch_loop(self):
+        """Worker loop. Exceptions from a batch are propagated to every
+        waiting request (and the loop keeps serving) — a failed forward
+        must never leave clients blocked on their Event forever."""
         import queue
         import time as _time
 
@@ -128,33 +132,51 @@ class InferenceEngine:
                     reqs.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            canvases = [r["canvas"] for r in reqs]
-            hs = [r["h"] for r in reqs]
-            ws = [r["w"] for r in reqs]
-            while len(canvases) < B:  # pad with repeats
-                canvases.append(canvases[-1])
-                hs.append(hs[-1])
-                ws.append(ws[-1])
-            out = self._fwd_batch(
-                self.params, jnp.asarray(np.stack(canvases)),
-                jnp.asarray(np.asarray(hs, np.float32)),
-                jnp.asarray(np.asarray(ws, np.float32)),
-            )
-            boxes = np.asarray(out.boxes)
-            scores = np.asarray(out.scores)
-            captions = np.asarray(out.captions)
-            valid = np.asarray(out.valid)
-            for i, r in enumerate(reqs):
-                r["result"] = (boxes[i], scores[i], captions[i], valid[i])
-                r["event"].set()
+            try:
+                canvases = [r["canvas"] for r in reqs]
+                hs = [r["h"] for r in reqs]
+                ws = [r["w"] for r in reqs]
+                while len(canvases) < B:  # pad with repeats
+                    canvases.append(canvases[-1])
+                    hs.append(hs[-1])
+                    ws.append(ws[-1])
+                out = self._fwd_batch(
+                    self.params, jnp.asarray(np.stack(canvases)),
+                    jnp.asarray(np.asarray(hs, np.float32)),
+                    jnp.asarray(np.asarray(ws, np.float32)),
+                )
+                boxes = np.asarray(out.boxes)
+                scores = np.asarray(out.scores)
+                captions = np.asarray(out.captions)
+                valid = np.asarray(out.valid)
+                for i, r in enumerate(reqs):
+                    r["result"] = (boxes[i], scores[i], captions[i],
+                                   valid[i])
+                    r["event"].set()
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                for r in reqs:
+                    r["error"] = e
+                    r["event"].set()
 
     def _infer(self, canvas, h, w):
-        """Run the model; returns (boxes, scores, captions, valid)."""
+        """Run the model; returns (boxes, scores, captions, valid).
+
+        Raises TimeoutError if the batch worker does not answer within
+        request_timeout_s, and re-raises worker-side exceptions in the
+        caller's thread.
+        """
         if self.batch_size > 1:
             req = {"canvas": canvas, "h": h, "w": w,
                    "event": threading.Event()}
             self._q.put(req)
-            req["event"].wait()
+            if not req["event"].wait(timeout=self.request_timeout):
+                raise TimeoutError(
+                    f"inference request timed out after "
+                    f"{self.request_timeout:.0f}s")
+            if "error" in req:
+                raise RuntimeError(
+                    f"batched inference failed: {req['error']!r}"
+                ) from req["error"]
             return req["result"]
         with self.lock:
             out = self._fwd(

@@ -86,10 +86,18 @@ def make_handler(engine):
                     rgb = np.asarray(
                         Image.open(io.BytesIO(jpg)).convert("RGB")
                     )
+            except Exception as e:
+                # payload problems (bad json/base64/image bytes)
+                self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            try:
                 result = engine.process_array(rgb)
                 self._send(200, json.dumps(result).encode())
+            except TimeoutError as e:
+                self._send(504, json.dumps({"error": str(e)}).encode())
             except Exception as e:
-                self._send(400, json.dumps({"error": str(e)}).encode())
+                # engine-side failure: server fault, not client fault
+                self._send(500, json.dumps({"error": str(e)}).encode())
 
     return Handler
 
@@ -133,12 +141,27 @@ def main(argv=None):
         test_max_proposals=args.num_proposals,
         use_pallas_roi_align=on_tpu,
     )
-    engine = InferenceEngine(
-        params, cfg, meta.get("idx_to_token", {}),
-        max_boxes=args.max_boxes, batch_size=args.batch_size,
-    )
+    def build(cfg_):
+        return InferenceEngine(
+            params, cfg_, meta.get("idx_to_token", {}),
+            max_boxes=args.max_boxes, batch_size=args.batch_size,
+        )
+
+    engine = build(cfg)
     print("compiling model...")
-    engine.warmup()
+    try:
+        engine.warmup()
+    except Exception as e:
+        if not cfg.use_pallas_roi_align:
+            raise
+        # the Pallas RoI kernel supports the flagship geometry; small
+        # channel counts can hit Mosaic layout limits — fall back to the
+        # XLA gather path rather than refuse to serve
+        print(f"pallas roi_align failed to compile ({e!r}); "
+              f"falling back to the XLA gather path")
+        cfg = cfg.replace(use_pallas_roi_align=False)
+        engine = build(cfg)
+        engine.warmup()
 
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(engine))
