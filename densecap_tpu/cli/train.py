@@ -17,6 +17,7 @@ import argparse
 import json
 import os
 
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,12 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--timing", type=int, default=0)
+    # multi-host (parallel/distributed.py): launch one process per host
+    # with the same coordinator address and a unique process_id
+    p.add_argument("--coordinator_address", default="",
+                   help="host:port of process 0 (multi-host runs)")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
     return p
 
 
@@ -80,13 +87,32 @@ def main(argv=None):
     from ..config import DenseCapConfig
     from ..data.loader import DenseCapLoader, PrefetchingLoader
     from ..eval.eval_split import eval_split
+    from ..parallel import distributed as dist
     from ..parallel import mesh as meshlib
     from ..parallel import train_step as ts
     from ..utils import checkpoint as ckpt
     from ..utils.profiling import StageTimer
 
+    dist.initialize(
+        coordinator_address=args.coordinator_address or None,
+        num_processes=args.num_processes if args.num_processes > 1
+        else None,
+        process_id=args.process_id,
+    )
+    nproc = jax.process_count()
+    is_main = dist.is_main_process()
+    if args.batch_size % nproc:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must divide evenly across "
+            f"{nproc} processes")
+    local_batch_size = args.batch_size // nproc
+
+    # unsharded view for vocab/meta/eval; per-process shard for training
     loader = DenseCapLoader(args.data_h5, args.data_json,
                             max_gt_boxes=args.max_gt_boxes)
+    train_loader = loader if nproc == 1 else DenseCapLoader(
+        args.data_h5, args.data_json, max_gt_boxes=args.max_gt_boxes,
+        shard=(jax.process_index(), nproc))
     cfg = DenseCapConfig(
         vocab_size=loader.vocab_size(),
         seq_length=loader.seq_length(),
@@ -163,11 +189,13 @@ def main(argv=None):
             tuple(int(v) for v in b.split("x"))
             for b in args.canvas_buckets.split(",") if b
         ]
-        bucketed = BucketedLoader(loader, buckets, args.batch_size, split=0)
+        bucketed = BucketedLoader(train_loader, buckets,
+                                  local_batch_size, split=0)
         prefetch = None
     else:
         bucketed = None
-        prefetch = PrefetchingLoader(loader, args.batch_size, split=0)
+        prefetch = PrefetchingLoader(train_loader, local_batch_size,
+                                     split=0)
     meta = json.dumps({
         "vocab_size": cfg.vocab_size,
         "seq_length": cfg.seq_length,
@@ -190,12 +218,14 @@ def main(argv=None):
             else:
                 batch_np = prefetch.next()
             batch = {
-                k: jnp.asarray(v)
+                k: v
                 for k, v in batch_np.items()
                 if k in ("image", "height", "width", "gt_boxes",
                          "gt_labels", "gt_valid")
             }
-            batch = meshlib.shard_batch(batch, mesh)
+            # per-process local slice -> global sharded arrays (one code
+            # path for single- and multi-host; parallel/distributed.py)
+            batch = dist.global_batch_from_local(batch, mesh)
         if (args.finetune_cnn_after >= 0
                 and it >= args.finetune_cnn_after
                 and not bool(state.finetune_cnn)):
@@ -212,7 +242,8 @@ def main(argv=None):
         total = float(losses["total_loss"])
         if it % args.losses_log_every == 0:
             loss_history[it] = {k: float(v) for k, v in losses.items()}
-            print(f"iter {it}: {json.dumps(loss_history[it])}")
+            if is_main:
+                print(f"iter {it}: {json.dumps(loss_history[it])}")
             if args.timing:
                 print(timer.report())
 
@@ -232,37 +263,57 @@ def main(argv=None):
             or (0 < args.max_iters == it)
         )
         if do_eval:
-            results = eval_split(
-                state.params, loader, cfg, split=1,
-                max_images=args.val_images_use, verbose=False,
-            )
-            map_score = results["ap_results"]["map"]
-            results_history[it] = {
-                "loss_results": results["loss_results"],
-                "map": map_score,
-            }
-            print(f"iter {it}: val mAP {100 * map_score:.4f}")
+            # multi-host: allgather the sharded state to every host (a
+            # collective — ALL processes participate), then only process
+            # 0 evaluates and writes
+            if nproc > 1:
+                from jax.experimental import multihost_utils
 
-            os.makedirs(os.path.dirname(args.checkpoint_path) or ".",
-                        exist_ok=True)
-            with open(args.checkpoint_path + ".json", "w") as f:
-                json.dump({
-                    "opt": vars(args),
-                    "iter": it,
-                    "loss_history": loss_history,
-                    "results_history": results_history,
-                }, f)
+                def _to_host(x):
+                    if isinstance(x, jax.Array) and \
+                            not x.is_fully_addressable:
+                        return np.asarray(
+                            multihost_utils.process_allgather(
+                                x, tiled=True))
+                    return np.asarray(x)
 
-            if map_score > best_val_score:
-                best_val_score = map_score
-                ckpt.save_params(
-                    args.checkpoint_path + ".npz", state.params,
-                    extra={"meta": meta},
+                host_state = jax.tree_util.tree_map(_to_host, state)
+            else:
+                host_state = state
+            if is_main:
+                results = eval_split(
+                    host_state.params, loader, cfg, split=1,
+                    max_images=args.val_images_use, verbose=False,
                 )
-                ckpt.save_train_state(
-                    os.path.dirname(args.checkpoint_path) or ".", state
-                )
-                print(f"saved checkpoint to {args.checkpoint_path}.npz")
+                map_score = results["ap_results"]["map"]
+                results_history[it] = {
+                    "loss_results": results["loss_results"],
+                    "map": map_score,
+                }
+                print(f"iter {it}: val mAP {100 * map_score:.4f}")
+
+                os.makedirs(os.path.dirname(args.checkpoint_path) or ".",
+                            exist_ok=True)
+                with open(args.checkpoint_path + ".json", "w") as f:
+                    json.dump({
+                        "opt": vars(args),
+                        "iter": it,
+                        "loss_history": loss_history,
+                        "results_history": results_history,
+                    }, f)
+
+                if map_score > best_val_score:
+                    best_val_score = map_score
+                    ckpt.save_params(
+                        args.checkpoint_path + ".npz", host_state.params,
+                        extra={"meta": meta},
+                    )
+                    ckpt.save_train_state(
+                        os.path.dirname(args.checkpoint_path) or ".",
+                        host_state,
+                    )
+                    print(f"saved checkpoint to "
+                          f"{args.checkpoint_path}.npz")
 
     if prefetch is not None:
         prefetch.close()

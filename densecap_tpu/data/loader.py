@@ -32,7 +32,11 @@ class DenseCapLoader:
     """Reads the preprocessed HDF5 + dicts json (schema: preprocess.py)."""
 
     def __init__(self, h5_path, json_path, max_gt_boxes=128, seed=0,
-                 proposals_h5=None):
+                 proposals_h5=None, shard=None):
+        """shard: optional (process_id, num_processes) — this loader
+        then sees only every num_processes-th example of each split
+        (round-robin), the per-host feeding half of the multi-host
+        recipe (parallel/distributed.py)."""
         import h5py
 
         self.h5 = h5py.File(h5_path, "r")
@@ -59,6 +63,12 @@ class DenseCapLoader:
         self.split_ix = {
             s: np.nonzero(split == s)[0] for s in (0, 1, 2)
         }
+        if shard is not None:
+            pid, nproc = shard
+            assert 0 <= pid < nproc, shard
+            self.split_ix = {
+                s: ix[pid::nproc] for s, ix in self.split_ix.items()
+            }
         self.iterators = {0: 0, 1: 0, 2: 0}
         self.num_channels = 3
         self.canvas = self.h5["images"].shape[2]
