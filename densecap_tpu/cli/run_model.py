@@ -44,6 +44,11 @@ def build_argparser():
                         "vis/view_results.html browser can show them")
     p.add_argument("--max_images", type=int, default=100)
     p.add_argument("--beam_size", type=int, default=0)
+    p.add_argument("--native_io", type=int, default=1,
+                   help="use the threaded C++ JPEG->canvas pipeline "
+                        "(native/dcio.cpp) for --input_dir batches; "
+                        "falls back to PIL when the library is absent "
+                        "or inputs are not JPEG")
     return p
 
 
@@ -154,10 +159,42 @@ def main(argv=None):
         )
     )
 
+    paths = get_input_images(args)
+    use_native = False
+    if args.native_io and args.input_dir and \
+            all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        from .. import native_lib
+
+        use_native = native_lib.is_available("dcio")
+
+    def inputs():
+        """Yields (path, canvas, h, w, scale)."""
+        if not use_native:
+            for path in paths:
+                rgb = load_image(path)
+                canvas, h, w, scale = preprocess_for_model(
+                    rgb, args.image_size)
+                yield path, canvas, h, w, scale
+            return
+        from .. import native_lib
+        from ..config import VGG_MEAN_BGR
+
+        CH = 16  # decode chunk: threads fill the next chunk's canvases
+        for i in range(0, len(paths), CH):
+            chunk = paths[i:i + CH]
+            canv, hts, wds, ohts, owds, _ = native_lib.load_batch(
+                chunk, args.image_size, VGG_MEAN_BGR)
+            for j, path in enumerate(chunk):
+                if hts[j] == 0:
+                    print(f"{path}: decode failed, skipping")
+                    continue
+                scale = args.image_size / float(max(ohts[j], owds[j]))
+                yield path, canv[j], float(hts[j]), float(wds[j]), scale
+
+    if use_native:
+        print(f"native IO: threaded C++ decode for {len(paths)} images")
     results = []
-    for path in get_input_images(args):
-        rgb = load_image(path)
-        canvas, h, w, scale = preprocess_for_model(rgb, args.image_size)
+    for path, canvas, h, w, scale in inputs():
         out = fwd(params, jnp.asarray(canvas), jnp.float32(h),
                   jnp.float32(w))
         valid = np.asarray(out.valid)
@@ -189,6 +226,7 @@ def main(argv=None):
         if args.output_images:
             from ..utils.vis import densecap_draw
 
+            rgb = load_image(path)  # originals only needed for baking
             k = min(args.boxes_to_show, len(boxes_xywh))
             baked = densecap_draw(rgb, boxes_xywh[:k], captions[:k])
             from PIL import Image

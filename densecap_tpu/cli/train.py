@@ -191,9 +191,12 @@ def main(argv=None):
         ]
         bucketed = BucketedLoader(train_loader, buckets,
                                   local_batch_size, split=0)
-        prefetch = None
+        # bucketing composes with prefetch now (round-1 had them
+        # exclusive); the prefetch thread pulls (bucket, batch) tuples
+        # and forwards the batch
+        prefetch = PrefetchingLoader(
+            source=lambda: bucketed.next_batch()[1])
     else:
-        bucketed = None
         prefetch = PrefetchingLoader(train_loader, local_batch_size,
                                      split=0)
     meta = json.dumps({
@@ -213,15 +216,12 @@ def main(argv=None):
     it = int(state.step)
     while args.max_iters < 0 or it < args.max_iters:
         with timer.stage("data"):
-            if bucketed is not None:
-                _, batch_np = bucketed.next_batch()
-            else:
-                batch_np = prefetch.next()
+            batch_np = prefetch.next()
             batch = {
                 k: v
                 for k, v in batch_np.items()
                 if k in ("image", "height", "width", "gt_boxes",
-                         "gt_labels", "gt_valid")
+                         "gt_labels", "gt_valid", "weight")
             }
             # per-process local slice -> global sharded arrays (one code
             # path for single- and multi-host; parallel/distributed.py)

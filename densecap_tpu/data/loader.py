@@ -191,6 +191,14 @@ class BucketedLoader:
     aligned) to the smallest bucket that fits its true extent, and
     batches are formed per bucket. Each bucket shape compiles its own
     XLA program once (jax.jit specializes on shapes automatically).
+
+    Tail handling (nothing is ever dropped or stranded): when the
+    underlying split wraps around (epoch boundary), all pending
+    examples — which always fit the full-square fallback bucket — are
+    flushed as full-canvas batches; a final partial batch is padded by
+    repeating examples with per-example weight 0, so every example in a
+    finite split is trained EXACTLY once per epoch (batches carry a
+    'weight' vector the train step uses for the loss mean).
     """
 
     def __init__(self, loader: DenseCapLoader, buckets, batch_size,
@@ -205,6 +213,7 @@ class BucketedLoader:
         self.split = split
         self.iterate = iterate
         self.pending = {b: [] for b in self.buckets}
+        self._flush_queue = []
 
     def _bucket_for(self, h, w):
         for bh, bw in self.buckets:
@@ -212,42 +221,88 @@ class BucketedLoader:
                 return (bh, bw)
         return self.buckets[-1]
 
+    def _make_batch(self, exs, bucket):
+        bh, bw = bucket
+        n_real = len(exs)
+        weight = np.ones(self.batch_size, np.float32)
+        while len(exs) < self.batch_size:  # pad partials with repeats
+            weight[len(exs)] = 0.0
+            exs = exs + [exs[len(exs) % n_real]]
+        batch = {
+            "image": np.stack([e["image"][:bh, :bw] for e in exs]),
+            "height": np.stack([e["height"] for e in exs]),
+            "width": np.stack([e["width"] for e in exs]),
+            "gt_boxes": np.stack([e["gt_boxes"] for e in exs]),
+            "gt_labels": np.stack([e["gt_labels"] for e in exs]),
+            "gt_valid": np.stack([e["gt_valid"] for e in exs]),
+            "weight": weight,
+            "ix": [e["ix"] for e in exs[:n_real]],
+        }
+        return bucket, batch
+
+    def _flush_pending(self):
+        """Epoch boundary: drain every bucket through the full square."""
+        leftovers = []
+        for b in self.buckets:
+            leftovers.extend(self.pending[b])
+            self.pending[b] = []
+        full = self.buckets[-1]
+        while leftovers:
+            exs, leftovers = (leftovers[:self.batch_size],
+                              leftovers[self.batch_size:])
+            self._flush_queue.append(self._make_batch(exs, full))
+
     def next_batch(self):
         """Returns (bucket_shape, batch dict) with images cropped to the
-        bucket canvas."""
+        bucket canvas. Batches include 'weight' (0 for repeat padding)
+        and 'ix' (the real examples' dataset indices)."""
         while True:
+            if self._flush_queue:
+                return self._flush_queue.pop(0)
             ex = self.loader.get_example(self.split, self.iterate)
             b = self._bucket_for(int(ex["height"]), int(ex["width"]))
             self.pending[b].append(ex)
+            full_bucket = None
             if len(self.pending[b]) == self.batch_size:
                 exs = self.pending[b]
                 self.pending[b] = []
-                bh, bw = b
-                batch = {
-                    "image": np.stack(
-                        [e["image"][:bh, :bw] for e in exs]
-                    ),
-                    "height": np.stack([e["height"] for e in exs]),
-                    "width": np.stack([e["width"] for e in exs]),
-                    "gt_boxes": np.stack([e["gt_boxes"] for e in exs]),
-                    "gt_labels": np.stack([e["gt_labels"] for e in exs]),
-                    "gt_valid": np.stack([e["gt_valid"] for e in exs]),
-                }
-                return b, batch
+                full_bucket = self._make_batch(exs, b)
+            # epoch wrap next call -> queue the tail flush AFTER any
+            # just-completed batch
+            if self.iterate and ex["split_pos"][0] == \
+                    ex["split_pos"][1] - 1:
+                if full_bucket is not None:
+                    self._flush_queue.append(full_bucket)
+                    full_bucket = None
+                self._flush_pending()
+            if full_bucket is not None:
+                return full_bucket
 
 
 class PrefetchingLoader:
-    """Background-thread batch prefetcher (depth-2 pipeline)."""
+    """Background-thread batch prefetcher (depth-2 pipeline).
 
-    def __init__(self, loader: DenseCapLoader, batch_size, split=0,
-                 iterate=True, depth=2):
-        self.loader = loader
+    Accepts either a DenseCapLoader (classic padded square batches) or
+    ANY zero-arg callable producing a batch — e.g. a BucketedLoader's
+    next_batch — so bucketing and prefetch compose instead of being
+    mutually exclusive.
+    """
+
+    def __init__(self, loader=None, batch_size=None, split=0,
+                 iterate=True, depth=2, source=None):
+        if source is None:
+            assert loader is not None and batch_size is not None
+            self.loader = loader
+
+            def source():
+                return loader.get_batch(batch_size, split, iterate)
+
         self.q = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
 
         def worker():
             while not self._stop.is_set():
-                batch = loader.get_batch(batch_size, split, iterate)
+                batch = source()
                 while not self._stop.is_set():
                     try:
                         self.q.put(batch, timeout=0.5)

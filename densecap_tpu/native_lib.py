@@ -126,10 +126,11 @@ def merge_boxes(boxes, thr):
 # ---------------------------------------------------------------------------
 
 def load_batch(paths, canvas_size, mean_bgr, num_threads=8):
-    """Decode+preprocess a batch of JPEGs natively.
+    """Decode+preprocess a batch of JPEGs natively (threaded C++).
 
-    Returns (canvases (n, S, S, 3) f32 BGR mean-sub, heights, widths,
-    ok_count)."""
+    Returns (canvases (n, S, S, 3) f32 BGR mean-sub zero-padded,
+    heights, widths, orig_heights, orig_widths, ok_count). Failed
+    decodes leave zero canvases and zero dims."""
     lib = _load("dcio")
     if lib is None:
         raise RuntimeError("libdcio.so unavailable")
@@ -138,6 +139,8 @@ def load_batch(paths, canvas_size, mean_bgr, num_threads=8):
     canv = np.zeros((n, S, S, 3), np.float32)
     hts = np.zeros(n, np.float32)
     wds = np.zeros(n, np.float32)
+    ohts = np.zeros(n, np.float32)
+    owds = np.zeros(n, np.float32)
     mean = np.asarray(mean_bgr, np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     ok = lib.dcio_load_batch(
@@ -146,9 +149,11 @@ def load_batch(paths, canvas_size, mean_bgr, num_threads=8):
         canv.ctypes.data_as(ctypes.c_void_p),
         hts.ctypes.data_as(ctypes.c_void_p),
         wds.ctypes.data_as(ctypes.c_void_p),
+        ohts.ctypes.data_as(ctypes.c_void_p),
+        owds.ctypes.data_as(ctypes.c_void_p),
         int(num_threads),
     )
-    return canv, hts, wds, ok
+    return canv, hts, wds, ohts, owds, ok
 
 
 def decode_jpeg(path):

@@ -61,7 +61,11 @@ def make_optimizer(cfg: DenseCapConfig, learning_rate=1e-5, beta1=0.9,
 
 
 def batched_loss(params, batch, rng, cfg: DenseCapConfig):
-    """Mean per-image losses over the batch dim."""
+    """Mean per-image losses over the batch dim.
+
+    An optional batch['weight'] (B,) reweights the mean — used by the
+    bucketed loader's epoch-tail batches, where repeat-padded slots
+    carry weight 0 so every real example counts exactly once."""
     B = batch["image"].shape[0]
     rngs = jax.random.split(rng, B)
     losses = jax.vmap(
@@ -72,6 +76,11 @@ def batched_loss(params, batch, rng, cfg: DenseCapConfig):
         batch["image"], batch["height"], batch["width"],
         batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"], rngs,
     )
+    if "weight" in batch:
+        w = batch["weight"].astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        return jax.tree_util.tree_map(
+            lambda v: jnp.sum(v * w) / denom, losses)
     return jax.tree_util.tree_map(jnp.mean, losses)
 
 

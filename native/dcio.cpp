@@ -187,7 +187,8 @@ extern "C" {
 // Returns number of successfully decoded images.
 int dcio_load_batch(const char** paths, int n, int canvas_size,
                     const float* mean_bgr, float* canvases, float* heights,
-                    float* widths, int num_threads) {
+                    float* widths, float* orig_heights, float* orig_widths,
+                    int num_threads) {
   std::atomic<int> ok_count{0};
   ThreadPool pool(std::max(1, num_threads));
   std::atomic<int> remaining{n};
@@ -201,6 +202,8 @@ int dcio_load_batch(const char** paths, int n, int canvas_size,
       std::memset(canvas, 0, sizeof(float) * size_t(S) * S * 3);
       heights[i] = 0;
       widths[i] = 0;
+      if (orig_heights) orig_heights[i] = 0;
+      if (orig_widths) orig_widths[i] = 0;
       DecodedImage img = decode_jpeg_file(paths[i]);
       if (img.ok) {
         float scale = float(S) / std::max(img.h, img.w);
@@ -222,6 +225,8 @@ int dcio_load_batch(const char** paths, int n, int canvas_size,
         }
         heights[i] = float(H);
         widths[i] = float(W);
+        if (orig_heights) orig_heights[i] = float(img.h);
+        if (orig_widths) orig_widths[i] = float(img.w);
         ok_count.fetch_add(1);
       }
       if (remaining.fetch_sub(1) == 1) {

@@ -93,10 +93,11 @@ def test_dcio_roundtrip(tmp_path):
     # JPEG decode parity with PIL (both libjpeg; allow tiny drift)
     assert np.mean(np.abs(dec.astype(int) - pil.astype(int))) < 2.0
 
-    canv, hts, wds, ok = native_lib.load_batch(
+    canv, hts, wds, ohts, owds, ok = native_lib.load_batch(
         [p, p], 64, (103.939, 116.779, 123.68), num_threads=2
     )
     assert ok == 2
+    assert (ohts[0], owds[0]) == (60.0, 90.0)
     assert canv.shape == (2, 64, 64, 3)
     # longest edge 90 -> scale 64/90 -> H ~ 43, W = 64
     assert wds[0] == 64
@@ -117,10 +118,11 @@ def test_dcio_roundtrip(tmp_path):
 def test_load_batch_missing_file():
     if not native_lib.is_available("dcio"):
         pytest.skip("libdcio unavailable")
-    canv, hts, wds, ok = native_lib.load_batch(
+    canv, hts, wds, ohts, owds, ok = native_lib.load_batch(
         ["/nonexistent/file.jpg"], 32, (0, 0, 0), num_threads=1
     )
     assert ok == 0
+    assert ohts[0] == 0
     assert hts[0] == 0 and np.all(canv == 0)
 
 

@@ -155,6 +155,50 @@ def test_run_model_cli(tmp_path):
     assert os.path.exists(os.path.join(outdir, "img_boxes.png"))
 
 
+def test_run_model_input_dir_native_io(tmp_path):
+    """--input_dir with the threaded C++ decode pipeline produces the
+    same results.json schema (and equivalent boxes) as the PIL path."""
+    from densecap_tpu import native_lib
+    from densecap_tpu.cli import run_model
+    from PIL import Image
+
+    if not native_lib.is_available("dcio"):
+        pytest.skip("libdcio unavailable")
+
+    params = densecap.init_params(jax.random.PRNGKey(0), TINY)
+    ckpath = str(tmp_path / "ck.npz")
+    ckpt.save_params(ckpath, params, extra={"meta": json.dumps(
+        {"config": TINY.to_json(),
+         "idx_to_token": {str(k): v for k, v in IDX_TO_TOKEN.items()}})})
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(11)
+    for i in range(3):
+        Image.fromarray(
+            rng.randint(0, 255, (50 + 10 * i, 70, 3), dtype=np.uint8)
+        ).save(str(img_dir / f"im{i}.jpg"), quality=95)
+
+    outs = {}
+    for native in (0, 1):
+        outdir = str(tmp_path / f"out{native}")
+        run_model.main([
+            "--checkpoint", ckpath, "--input_dir", str(img_dir),
+            "--image_size", "64", "--num_proposals", "8",
+            "--output_dir", outdir, "--native_io", str(native),
+        ])
+        with open(os.path.join(outdir, "results.json")) as f:
+            outs[native] = json.load(f)["results"]
+
+    assert len(outs[0]) == len(outs[1]) == 3
+    for r0, r1 in zip(outs[0], outs[1]):
+        assert r0["img_name"] == r1["img_name"]
+        # decoders share libjpeg but resamplers differ slightly; the
+        # box GEOMETRY should agree to within a couple of pixels
+        b0, b1 = np.asarray(r0["boxes"]), np.asarray(r1["boxes"])
+        if b0.shape == b1.shape and len(b0):
+            assert np.median(np.abs(b0 - b1)) < 5.0
+
+
 def test_extract_features_cli(tmp_path):
     from PIL import Image
 
