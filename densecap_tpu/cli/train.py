@@ -182,6 +182,14 @@ def main(argv=None):
         print(f"resumed from {args.checkpoint_start_from} "
               f"at step {int(state.step)}")
 
+    # While CNN finetuning is off, delete the trunk backward from the
+    # compiled program entirely (cfg.static_freeze_cnn) — the reference
+    # with finetuning off backprops only from the localization layer up
+    # (DenseCapModel.lua:338-358). Flipping the flag at the finetune
+    # switch point recompiles exactly once.
+    if not bool(state.finetune_cnn):
+        cfg = cfg.replace(static_freeze_cnn=True)
+
     if args.canvas_buckets:
         from ..data.loader import BucketedLoader
 
@@ -203,7 +211,9 @@ def main(argv=None):
         "vocab_size": cfg.vocab_size,
         "seq_length": cfg.seq_length,
         "idx_to_token": loader.info["idx_to_token"],
-        "config": cfg.to_json(),
+        # embedded config is for inference consumers; the static
+        # backward-freeze knob is a train-time program choice
+        "config": cfg.replace(static_freeze_cnn=False).to_json(),
     })
 
     loss_history = {}
@@ -230,7 +240,9 @@ def main(argv=None):
                 and it >= args.finetune_cnn_after
                 and not bool(state.finetune_cnn)):
             state = state._replace(finetune_cnn=jnp.ones((), bool))
-            print("enabling CNN finetuning")
+            cfg = cfg.replace(static_freeze_cnn=False)
+            print("enabling CNN finetuning (one-time recompile with the "
+                  "trunk back in the backward graph)")
 
         rng, sub = jax.random.split(rng)
         with timer.stage("step"):

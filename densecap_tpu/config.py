@@ -93,6 +93,16 @@ class DenseCapConfig:
     # enables larger per-chip batches at 720px)
     remat_trunk: bool = False
 
+    # statically remove the WHOLE conv trunk from the backward graph.
+    # The reference with -finetune_cnn_after < 0 (the default) never
+    # backprops into the CNN at all (DenseCapModel.lua:338-358 starts
+    # backward at the localization layer); the recompile-free scalar
+    # `finetune_cnn` switch zeroes those grads but still COMPUTES the
+    # trunk backward (~2x the trunk FLOPs) — this knob deletes it from
+    # the program instead. cli/train.py sets it automatically and
+    # recompiles ONCE when finetuning kicks in.
+    static_freeze_cnn: bool = False
+
     @property
     def num_anchors(self) -> int:
         return len(self.anchors)

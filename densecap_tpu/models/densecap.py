@@ -121,6 +121,12 @@ def features(params, image, cfg: DenseCapConfig, img_h=None, img_w=None):
         x = img[None]
         x = apply_trunk(p1, TRUNK1_CFG, x, cfg.compute_dtype,
                         valid_h=eh, valid_w=ew)
+        # The reference NEVER backprops through conv1_1..pool2: its
+        # manual backward starts at layer 11 (DenseCapModel.lua:338-358)
+        # regardless of -finetune_cnn_after. Cutting the graph here both
+        # matches that exactly and lets XLA delete the conv1/conv2
+        # backward (the largest activations in the whole net).
+        x = jax.lax.stop_gradient(x)
         x = apply_trunk(p2, TRUNK2_CFG, x, cfg.compute_dtype,
                         valid_h=eh if eh is None else jnp.floor(
                             jnp.asarray(eh, jnp.float32) / 4.0),
@@ -130,7 +136,13 @@ def features(params, image, cfg: DenseCapConfig, img_h=None, img_w=None):
 
     if cfg.remat_trunk:
         run = jax.checkpoint(run)  # None extents are empty pytree leaves
-    return run(params["trunk1"], params["trunk2"], image, img_h, img_w)
+    feats = run(params["trunk1"], params["trunk2"], image, img_h, img_w)
+    if cfg.static_freeze_cnn:
+        # finetuning off: the trunk contributes no gradients at all, so
+        # remove its entire backward from the program (applied OUTSIDE
+        # the remat wrapper — no recompute happens either).
+        feats = jax.lax.stop_gradient(feats)
+    return feats
 
 
 def forward_train(params, image, img_h, img_w, gt_boxes, gt_labels,

@@ -128,3 +128,49 @@ def test_remat_trunk_matches_no_remat():
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_static_freeze_cnn_matches_dynamic_freeze():
+    """static_freeze_cnn deletes the trunk backward from the program;
+    with the finetune scalar off it must be bit-equivalent in effect
+    (identical updated params) and strictly cheaper in compiled FLOPs."""
+    cfg_s = TINY.replace(static_freeze_cnn=True)
+    state_a, tx_a = ts.init_state(jax.random.PRNGKey(0), TINY,
+                                  learning_rate=1e-3)
+    state_b, tx_b = ts.init_state(jax.random.PRNGKey(0), cfg_s,
+                                  learning_rate=1e-3)
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    s1, l1 = ts.train_step(state_a, batch, rng, TINY, tx_a)
+    s2, l2 = ts.train_step(state_b, batch, rng, cfg_s, tx_b)
+    np.testing.assert_allclose(float(l1["total_loss"]),
+                               float(l2["total_loss"]), rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_static_freeze_cnn_cuts_backward_flops():
+    state, tx = ts.init_state(jax.random.PRNGKey(0), TINY,
+                              learning_rate=1e-3)
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+
+    def flops_for(cfg):
+        lowered = jax.jit(
+            lambda s, b, r: ts.train_step(s, b, r, cfg, tx),
+            static_argnums=(),
+        ).lower(state, batch, rng)
+        cost = lowered.compile().cost_analysis()
+        return (cost or {}).get("flops", None)
+
+    dense = flops_for(TINY)
+    frozen = flops_for(TINY.replace(static_freeze_cnn=True))
+    if not dense or not frozen:  # backend without cost analysis
+        import pytest
+
+        pytest.skip("cost_analysis has no flops on this backend")
+    # the trunk backward is a large share of total step FLOPs even at
+    # tiny geometry; require a material cut, not exact accounting
+    assert frozen < 0.9 * dense, (frozen, dense)
