@@ -110,12 +110,12 @@ def train(steps, n_train):
 
 def survivor_overlap(boxes_a, boxes_b, thresh=0.9):
     """Fraction of run-A survivors having an IoU>=thresh twin in run B."""
-    from densecap_tpu.ops.boxes import iou_matrix, xcycwh_to_x1y1x2y2
+    from densecap_tpu.ops.boxes import iou_pascal, xcycwh_to_x1y1x2y2
     if len(boxes_a) == 0:
         return 1.0
     if len(boxes_b) == 0:
         return 0.0
-    m = iou_matrix(xcycwh_to_x1y1x2y2(jnp.asarray(boxes_a)),
+    m = iou_pascal(xcycwh_to_x1y1x2y2(jnp.asarray(boxes_a)),
                    xcycwh_to_x1y1x2y2(jnp.asarray(boxes_b)))
     return float(jnp.mean(jnp.max(m, axis=1) >= thresh))
 
@@ -151,8 +151,11 @@ def main():
     args = ap.parse_args()
 
     if os.path.exists(CACHE) and not args.retrain:
-        print(f"# loading cached params {CACHE}")
+        print(f"# loading cached params {CACHE}", flush=True)
         params, _ = ckpt.load_params(CACHE)
+        # commit to device once — numpy pytrees re-transfer ~560 MB over
+        # the tunnel on EVERY jitted call otherwise
+        params = jax.device_put(params)
     else:
         params = train(args.steps, args.n_train)
         ckpt.save_params(CACHE, params)
