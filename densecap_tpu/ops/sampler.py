@@ -66,7 +66,15 @@ def _gumbel_topk_select(key, mask, k):
     n = mask.shape[0]
     g = jax.random.gumbel(key, (n,))
     scores = jnp.where(mask, g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, k)  # candidates first, then -inf tail
+    # fewer candidates than slots (tiny images: anchor count < sampler
+    # batch size) is legal — top_k caps at n and the cycling below fills
+    # the remaining slots with repeats (the reference's with-replacement
+    # fallback, BoxSampler.lua:145-152)
+    k_eff = min(k, n)
+    _, idx = jax.lax.top_k(scores, k_eff)  # candidates first, -inf tail
+    if k_eff < k:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((k - k_eff,), idx.dtype)])
     total = jnp.sum(mask.astype(jnp.int32))
     # Cycle valid prefix into the tail so every slot indexes a candidate.
     slot = jnp.arange(k, dtype=jnp.int32)

@@ -204,3 +204,28 @@ def test_gather_rois():
     dn = np.asarray(data)
     np.testing.assert_array_equal(np.asarray(pos), dn[[1, 3]])
     np.testing.assert_array_equal(np.asarray(neg), dn[[0, 2, 4]])
+
+
+def test_sampler_batch_size_exceeding_candidates():
+    """Tiny images can have fewer anchors than the sampler batch size:
+    slots must fill by cycling (with-replacement fallback), not crash."""
+    import jax
+
+    n = 12  # candidates
+    boxes = jnp.stack([
+        jnp.linspace(10, 50, n), jnp.linspace(10, 50, n),
+        jnp.full((n,), 8.0), jnp.full((n,), 8.0)], axis=1)
+    gt = jnp.array([[12.0, 12.0, 8.0, 8.0]])
+    out = sample_rois(
+        jax.random.PRNGKey(0), boxes, gt, jnp.array([True]),
+        batch_size=32,  # P=16, M=32 > n=12
+    )
+    assert out.pos_input_idx.shape == (16,)
+    assert out.neg_input_idx.shape == (32,)
+    # every index must point at a real candidate
+    assert int(jnp.max(out.pos_input_idx)) < n
+    assert int(jnp.max(out.neg_input_idx)) < n
+    # valid negative slots only reference negative-eligible candidates
+    neg_sel = out.neg_input_idx[out.neg_valid]
+    assert int(out.num_pos) >= 1
+    assert neg_sel.shape[0] == int(out.num_neg)
