@@ -82,7 +82,13 @@ def main(argv=None):
                 f"anchors via config")
         note = "full pretrained conversion (VGG+RPN+branches+LM)"
 
-    idx_to_token = t7_reader.extract_idx_to_token(loaded)
+    # the checkpoint's vocabulary belongs with the checkpoint's LM; with
+    # --vgg_only the LM is freshly initialized against a user-chosen
+    # vocab_size, so embedding the pretrained idx_to_token would make
+    # consumers decode unrelated tokens — leave it empty (the training
+    # run that follows embeds its dataset's vocabulary)
+    idx_to_token = ({} if args.vgg_only
+                    else t7_reader.extract_idx_to_token(loaded))
     if idx_to_token:
         print(f"vocabulary: {len(idx_to_token)} tokens")
     meta = json.dumps({

@@ -176,20 +176,33 @@ def main(argv=None):
                     rgb, args.image_size)
                 yield path, canvas, h, w, scale
             return
+        from concurrent.futures import ThreadPoolExecutor
+
         from .. import native_lib
         from ..config import VGG_MEAN_BGR
 
-        CH = 16  # decode chunk: threads fill the next chunk's canvases
-        for i in range(0, len(paths), CH):
-            chunk = paths[i:i + CH]
-            canv, hts, wds, ohts, owds, _ = native_lib.load_batch(
-                chunk, args.image_size, VGG_MEAN_BGR)
-            for j, path in enumerate(chunk):
-                if hts[j] == 0:
-                    print(f"{path}: decode failed, skipping")
-                    continue
-                scale = args.image_size / float(max(ohts[j], owds[j]))
-                yield path, canv[j], float(hts[j]), float(wds[j]), scale
+        CH = 16  # decode chunk size
+
+        def decode(chunk):
+            return native_lib.load_batch(chunk, args.image_size,
+                                         VGG_MEAN_BGR)
+
+        # one-chunk lookahead: the C++ thread pool decodes chunk i+1
+        # while the device runs inference over chunk i
+        chunks = [paths[i:i + CH] for i in range(0, len(paths), CH)]
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(decode, chunks[0])
+            for ci, chunk in enumerate(chunks):
+                canv, hts, wds, ohts, owds, _ = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = pool.submit(decode, chunks[ci + 1])
+                for j, path in enumerate(chunk):
+                    if hts[j] == 0:
+                        print(f"{path}: decode failed, skipping")
+                        continue
+                    scale = args.image_size / float(max(ohts[j], owds[j]))
+                    yield (path, canv[j], float(hts[j]), float(wds[j]),
+                           scale)
 
     if use_native:
         print(f"native IO: threaded C++ decode for {len(paths)} images")

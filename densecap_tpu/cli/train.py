@@ -136,12 +136,32 @@ def main(argv=None):
     )
     print(f"vocab_size={cfg.vocab_size} seq_length={cfg.seq_length}")
 
-    # data axis must evenly divide the global batch: use the largest
-    # divisor of batch_size that fits the available devices
+    # data axis must evenly divide the global batch. Single-host: pick
+    # the largest batch divisor that fits the devices (a partial mesh is
+    # fine). Multi-host: the mesh MUST span every process's devices —
+    # per-process feeding (jax.make_array_from_process_local_data)
+    # requires each process to own an equal slice of the 'data' axis, so
+    # a shrunk or host-lopsided mesh would strand hosts without shards.
     avail = len(jax.devices()) // args.model_parallel
-    data_par = max(
-        d for d in range(1, avail + 1) if args.batch_size % d == 0
-    )
+    if nproc > 1:
+        data_par = avail
+        if data_par < 1 or len(jax.devices()) % args.model_parallel:
+            raise SystemExit(
+                f"model_parallel {args.model_parallel} does not divide "
+                f"{len(jax.devices())} devices")
+        if data_par % nproc:
+            raise SystemExit(
+                f"data axis {data_par} must divide evenly across "
+                f"{nproc} processes")
+        if args.batch_size % data_par:
+            raise SystemExit(
+                f"multi-host runs use ALL devices: --batch_size "
+                f"{args.batch_size} must be a multiple of the data "
+                f"axis {data_par}")
+    else:
+        data_par = max(
+            d for d in range(1, avail + 1) if args.batch_size % d == 0
+        )
     mesh = meshlib.make_mesh(
         n_devices=data_par * args.model_parallel,
         model_parallel=args.model_parallel,
@@ -190,6 +210,15 @@ def main(argv=None):
     if not bool(state.finetune_cnn):
         cfg = cfg.replace(static_freeze_cnn=True)
 
+    if args.canvas_buckets and nproc > 1:
+        # each process's shard has a different aspect-ratio mix, so
+        # processes would pick DIFFERENT buckets at the same step —
+        # divergent global shapes and programs, mismatched collectives,
+        # a hang. Bucket choice would need a cross-host agreement
+        # protocol; reject the combination instead.
+        raise SystemExit(
+            "--canvas_buckets is single-host only (per-process bucket "
+            "choices diverge and deadlock the collectives)")
     if args.canvas_buckets:
         from ..data.loader import BucketedLoader
 
@@ -327,8 +356,7 @@ def main(argv=None):
                     print(f"saved checkpoint to "
                           f"{args.checkpoint_path}.npz")
 
-    if prefetch is not None:
-        prefetch.close()
+    prefetch.close()
 
 
 if __name__ == "__main__":

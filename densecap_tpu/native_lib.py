@@ -19,26 +19,58 @@ _NATIVE_DIR = os.path.join(
 _lock = threading.Lock()
 _libs = {}
 
+# expected ABI of each library (dc<name>_abi_version in the .cpp); a
+# stale .so built before a signature change must never be called with
+# the new argument list — it would misread pointers as ints
+_ABI = {"dcio": 2, "dcgeom": 1}
+
+
+def _abi_ok(lib, name):
+    try:
+        fn = getattr(lib, f"{name}_abi_version")
+    except AttributeError:
+        return False  # pre-versioning build
+    return int(fn()) == _ABI[name]
+
 
 def _load(name):
     with _lock:
         if name in _libs:
             return _libs[name]
         so = os.path.join(_NATIVE_DIR, f"lib{name}.so")
-        if not os.path.exists(so):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, f"lib{name}.so"],
-                    check=True, capture_output=True,
-                )
-            except Exception:
-                _libs[name] = None
-                return None
+
+        def build(force=False):
+            cmd = ["make", "-C", _NATIVE_DIR]
+            if force:
+                cmd.append("-B")
+            cmd.append(f"lib{name}.so")
+            subprocess.run(cmd, check=True, capture_output=True)
+
+        lib = None
         try:
-            _libs[name] = ctypes.CDLL(so)
-        except OSError:
-            _libs[name] = None
-        return _libs[name]
+            if not os.path.exists(so):
+                build()
+            lib = ctypes.CDLL(so)
+            if not _abi_ok(lib, name):
+                # stale binary from an older source revision: rebuild
+                # from scratch. dlopen caches by pathname, so the first
+                # (stale) handle would shadow a same-path reload — load
+                # the fresh build through a unique temp copy instead.
+                build(force=True)
+                import shutil
+                import tempfile
+
+                tmp = tempfile.NamedTemporaryFile(
+                    prefix=f"lib{name}_", suffix=".so", delete=False)
+                tmp.close()
+                shutil.copy2(so, tmp.name)
+                lib = ctypes.CDLL(tmp.name)
+                if not _abi_ok(lib, name):
+                    lib = None
+        except Exception:
+            lib = None
+        _libs[name] = lib
+        return lib
 
 
 def is_available(name="dcgeom"):

@@ -109,8 +109,17 @@ class InferenceEngine:
             )
 
     def warmup(self):
+        """Compile the forward program. The request timeout is lifted
+        for the duration — first compiles over the dev tunnel take
+        20-400 s, far past any sane serving timeout, and a warmup
+        "timeout" would misread a healthy cold cache as a failure."""
         S = self.cfg.image_size
-        self.process_array(np.zeros((S, S, 3), np.uint8))
+        saved = self.request_timeout
+        self.request_timeout = max(saved, 1800.0)
+        try:
+            self.process_array(np.zeros((S, S, 3), np.uint8))
+        finally:
+            self.request_timeout = saved
 
     # ---- micro-batching ---------------------------------------------------
     def _batch_loop(self):

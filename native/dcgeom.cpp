@@ -35,6 +35,9 @@ inline double pascal_iou(const float* a, const float* b) {
 
 extern "C" {
 
+// Bump whenever any exported signature changes (see native_lib._load).
+int dcgeom_abi_version() { return 1; }
+
 // Full pairwise IoU matrix: boxes1 (n1,4) x boxes2 (n2,4) -> out (n1*n2).
 void dcgeom_iou_matrix(const float* boxes1, int n1, const float* boxes2,
                        int n2, float* out) {

@@ -179,6 +179,12 @@ struct ThreadPool {
 
 extern "C" {
 
+// Bump whenever any exported signature changes; the ctypes loader
+// refuses (and rebuilds) a stale .so instead of calling it with a
+// mismatched argument list. v2: dcio_load_batch grew
+// orig_heights/orig_widths outputs.
+int dcio_abi_version() { return 2; }
+
 // Decode + resize-longest-edge + BGR + mean-subtract + pad onto a
 // canvas_size^2 float32 HWC canvas. Batched over `n` paths with
 // `num_threads` workers. Outputs:
