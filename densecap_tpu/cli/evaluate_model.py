@@ -20,6 +20,9 @@ def main(argv=None):
     p.add_argument("--max_gt_boxes", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=1,
                    help="batched test pass (skips loss stats)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard the batched test pass over this many "
+                        "devices (requires --batch_size multiple of it)")
     p.add_argument("--skip_losses", type=int, default=0)
     p.add_argument("--beam_size", type=int, default=0,
                    help="beam width for caption decoding (0 = greedy)")
@@ -47,12 +50,22 @@ def main(argv=None):
         test_final_nms_thresh=args.final_nms_thresh,
         max_gt_boxes=args.max_gt_boxes,
     )
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import mesh as meshlib
+
+        if args.batch_size % args.data_parallel:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--data_parallel {args.data_parallel}")
+        mesh = meshlib.make_mesh(n_devices=args.data_parallel,
+                                 model_parallel=1)
     split = {"val": 1, "test": 2}[args.split]
     results = eval_split(params, loader, cfg, split=split,
                          max_images=args.max_images,
                          beam_size=args.beam_size,
                          compute_losses=not args.skip_losses,
-                         batch_size=args.batch_size)
+                         batch_size=args.batch_size, mesh=mesh)
     print(json.dumps({
         "map": results["ap_results"]["map"],
         "detmap": results["ap_results"]["detmap"],

@@ -16,7 +16,7 @@ from .evaluator import DenseCaptioningEvaluator
 
 def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
                loss_rng=None, verbose=True, beam_size=0,
-               compute_losses=True, batch_size=1):
+               compute_losses=True, batch_size=1, mesh=None):
     """Evaluate `params` on a split.
 
     compute_losses=False skips the per-image training-loss pass (the
@@ -24,9 +24,26 @@ def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
     printed loss stats). batch_size > 1 runs the test pass batched
     (forward_test_batch) — ~B x fewer dispatches; implies
     compute_losses=False.
+
+    mesh: optional ('data', 'model') Mesh — the batched test pass then
+    runs data-parallel: params replicated, the batch sharded over
+    'data', XLA splits the program across devices (requires batch_size
+    to be a multiple of the data axis). The reference has no
+    multi-device evaluation at all.
     """
     if batch_size > 1:
         compute_losses = False
+    batch_shard = None
+    if mesh is not None and batch_size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_par = mesh.shape["data"]
+        if batch_size % data_par:
+            raise ValueError(
+                f"batch_size {batch_size} must be a multiple of the "
+                f"data axis {data_par}")
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        batch_shard = NamedSharding(mesh, P("data"))
     split_n = loader.split_size(split)
     n_images = split_n if max_images <= 0 else min(max_images, split_n)
     loader.reset_iterator(split)
@@ -82,14 +99,16 @@ def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
             n_real = len(exs)
             while len(exs) < batch_size:  # pad the tail batch
                 exs.append(exs[-1])
-            out = fwd_batch(
-                params,
-                jnp.asarray(np.stack([e["image"] for e in exs])),
-                jnp.asarray(np.asarray([e["height"] for e in exs],
-                                       np.float32)),
-                jnp.asarray(np.asarray([e["width"] for e in exs],
-                                       np.float32)),
-            )
+            ims = jnp.asarray(np.stack([e["image"] for e in exs]))
+            hs = jnp.asarray(np.asarray([e["height"] for e in exs],
+                                        np.float32))
+            ws = jnp.asarray(np.asarray([e["width"] for e in exs],
+                                        np.float32))
+            if batch_shard is not None:
+                ims = jax.device_put(ims, batch_shard)
+                hs = jax.device_put(hs, batch_shard)
+                ws = jax.device_put(ws, batch_shard)
+            out = fwd_batch(params, ims, hs, ws)
             for i in range(n_real):
                 add_one(exs[i], out.boxes[i], out.scores[i],
                         out.captions[i], out.valid[i], done + i)

@@ -1,0 +1,112 @@
+"""Sustained training throughput at the flagship config, incl. host.
+
+Round-1 measured 30.3 img/s sustained over 3000 steps (finetune-on
+program). This re-measures with the static trunk freeze (the default
+pre-finetune phase) over --steps steps with host-side batch selection
+in the loop, reporting sustained img/s and the loss trajectory.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/sustained_train.py
+"""
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from densecap_tpu.config import DenseCapConfig
+from densecap_tpu.parallel import train_step as ts
+
+COLORS = {
+    "red": (200, 40, 40), "green": (40, 180, 40), "blue": (40, 60, 200),
+    "yellow": (220, 210, 40),
+}
+S = 720
+G = 4
+L = 3
+
+
+def make_scenes(n, seed):
+    rng = np.random.RandomState(seed)
+    images = np.zeros((n, S, S, 3), np.float32)
+    gt_boxes = np.zeros((n, G, 4), np.float32)
+    gt_labels = np.zeros((n, G, L), np.int32)
+    gt_valid = np.zeros((n, G), bool)
+    for i in range(n):
+        img = rng.uniform(90, 130, (S, S, 3)).astype(np.float32)
+        for b in range(rng.randint(2, 4)):
+            ci = rng.randint(len(COLORS))
+            w, h = rng.randint(60, 300, 2)
+            x = rng.randint(1, S - w - 1)
+            y = rng.randint(1, S - h - 1)
+            img[y:y + h, x:x + w] = list(COLORS.values())[ci]
+            gt_boxes[i, b] = [x + w / 2.0, y + h / 2.0, w, h]
+            gt_labels[i, b, :2] = [ci + 2, 1]
+            gt_valid[i, b] = True
+        images[i] = img[:, :, ::-1] - np.array([103.9, 116.8, 123.7])
+    return images, gt_boxes, gt_labels, gt_valid
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--finetune", action="store_true")
+    args = ap.parse_args()
+
+    cfg = DenseCapConfig(
+        vocab_size=10000, seq_length=L, image_size=S,
+        sampler_batch_size=256, max_gt_boxes=G,
+        static_freeze_cnn=not args.finetune,
+    )
+    n_train = 48
+    tr = make_scenes(n_train, seed=0)
+    tr_imgs = jax.device_put(jnp.asarray(tr[0]))
+    lr = optax.cosine_decay_schedule(3e-4, args.steps, alpha=0.05)
+    state, tx = ts.init_state(jax.random.PRNGKey(0), cfg,
+                              learning_rate=lr)
+    if args.finetune:
+        state = state._replace(finetune_cnn=jnp.ones((), bool))
+    B = args.batch
+    hs = jnp.full((B,), float(S))
+    ws = jnp.full((B,), float(S))
+    rng = jax.random.PRNGKey(1)
+
+    # compile outside the timed window
+    def batch_for(it):
+        sel = np.random.RandomState(it).choice(n_train, B, replace=False)
+        return {
+            "image": tr_imgs[sel], "height": hs, "width": ws,
+            "gt_boxes": jnp.asarray(tr[1][sel]),
+            "gt_labels": jnp.asarray(tr[2][sel]),
+            "gt_valid": jnp.asarray(tr[3][sel]),
+        }
+
+    rng, sub = jax.random.split(rng)
+    state, losses = ts.train_step(state, batch_for(0), sub, cfg, tx)
+    first = float(losses["total_loss"])
+
+    t0 = time.time()
+    for it in range(1, args.steps):
+        rng, sub = jax.random.split(rng)
+        state, losses = ts.train_step(state, batch_for(it), sub, cfg, tx)
+        if it % 250 == 0:
+            print(f"it {it:5d} total {float(losses['total_loss']):8.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    last = float(losses["total_loss"])
+    dt = time.time() - t0
+    n_imgs = (args.steps - 1) * B
+    mode = "finetune-on" if args.finetune else "static-frozen"
+    print(f"SUSTAINED ({mode}, B={B}): {n_imgs / dt:.1f} img/s over "
+          f"{args.steps - 1} steps incl host; loss {first:.2f} -> "
+          f"{last:.2f}")
+
+
+if __name__ == "__main__":
+    main()

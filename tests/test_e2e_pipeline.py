@@ -157,3 +157,24 @@ def test_eval_split_batched_matches_sequential(dataset):
     assert abs(seq["ap_results"]["map"] - bat["ap_results"]["map"]) < 1e-6
     assert abs(seq["ap_results"]["detmap"]
                - bat["ap_results"]["detmap"]) < 1e-6
+
+
+def test_eval_split_data_parallel_matches_sequential(dataset):
+    """DP evaluation (batch sharded over the 'data' mesh axis) must be
+    bit-equivalent to the single-device batched pass."""
+    from densecap_tpu.parallel import mesh as meshlib
+
+    h5_out, json_out = dataset
+    loader = DenseCapLoader(h5_out, json_out, max_gt_boxes=4)
+    cfg = _cfg(loader)
+    params = __import__("densecap_tpu.models.densecap",
+                        fromlist=["densecap"]).init_params(
+        jax.random.PRNGKey(3), cfg)
+    seq = eval_split(params, loader, cfg, split=0, max_images=4,
+                     verbose=False, compute_losses=False)
+    mesh = meshlib.make_mesh(n_devices=4, model_parallel=1)
+    dp = eval_split(params, loader, cfg, split=0, max_images=4,
+                    verbose=False, batch_size=4, mesh=mesh)
+    assert abs(seq["ap_results"]["map"] - dp["ap_results"]["map"]) < 1e-6
+    assert abs(seq["ap_results"]["detmap"]
+               - dp["ap_results"]["detmap"]) < 1e-6
