@@ -81,8 +81,23 @@ class InferenceEngine:
 
     def __init__(self, params, cfg: DenseCapConfig, idx_to_token,
                  max_boxes=50, smoothing=True, batch_size=1,
-                 batch_window_ms=5.0, request_timeout_s=60.0):
-        self.params = jax.device_put(params)
+                 batch_window_ms=5.0, request_timeout_s=60.0,
+                 mesh=None):
+        if mesh is not None and batch_size > 1:
+            # multi-chip serving: params replicated, each micro-batch
+            # sharded over the 'data' axis — XLA splits one serving
+            # step across chips (requires batch_size % data axis == 0)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must be a multiple of "
+                    f"the data axis {mesh.shape['data']}")
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self.params = jax.device_put(params)
+            self._batch_sharding = None
         self.cfg = cfg
         self.idx_to_token = idx_to_token
         self.max_boxes = max_boxes
@@ -149,11 +164,14 @@ class InferenceEngine:
                     canvases.append(canvases[-1])
                     hs.append(hs[-1])
                     ws.append(ws[-1])
-                out = self._fwd_batch(
-                    self.params, jnp.asarray(np.stack(canvases)),
-                    jnp.asarray(np.asarray(hs, np.float32)),
-                    jnp.asarray(np.asarray(ws, np.float32)),
-                )
+                ims = jnp.asarray(np.stack(canvases))
+                hsj = jnp.asarray(np.asarray(hs, np.float32))
+                wsj = jnp.asarray(np.asarray(ws, np.float32))
+                if self._batch_sharding is not None:
+                    ims = jax.device_put(ims, self._batch_sharding)
+                    hsj = jax.device_put(hsj, self._batch_sharding)
+                    wsj = jax.device_put(wsj, self._batch_sharding)
+                out = self._fwd_batch(self.params, ims, hsj, wsj)
                 boxes = np.asarray(out.boxes)
                 scores = np.asarray(out.scores)
                 captions = np.asarray(out.captions)

@@ -114,6 +114,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=1,
                    help="micro-batch concurrent requests into one "
                         "compiled step (throughput mode)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard each micro-batch over this many devices "
+                        "(requires --batch_size multiple of it)")
     p.add_argument("--certfile", default="",
                    help="enable TLS (browser webcam needs HTTPS off "
                         "localhost)")
@@ -141,10 +144,18 @@ def main(argv=None):
         test_max_proposals=args.num_proposals,
         use_pallas_roi_align=on_tpu,
     )
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(n_devices=args.data_parallel,
+                                 model_parallel=1)
+
     def build(cfg_):
         return InferenceEngine(
             params, cfg_, meta.get("idx_to_token", {}),
             max_boxes=args.max_boxes, batch_size=args.batch_size,
+            mesh=mesh,
         )
 
     engine = build(cfg)

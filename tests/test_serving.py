@@ -553,3 +553,37 @@ def test_beam_search_real_logprobs():
         ends = np.nonzero(caps[i] == END)[0]
         if len(ends) and ends[0] + 1 < lps.shape[1]:
             np.testing.assert_array_equal(lps[i, ends[0] + 1:], 0.0)
+
+
+def test_engine_data_parallel_matches_single():
+    """mesh-sharded micro-batching (multi-chip serving) produces the
+    same outputs as the single-device engine."""
+    from densecap_tpu.parallel import mesh as meshlib
+
+    params = densecap.init_params(jax.random.PRNGKey(0), TINY)
+    single = InferenceEngine(params, TINY, IDX_TO_TOKEN, max_boxes=5,
+                             smoothing=False)
+    mesh = meshlib.make_mesh(n_devices=4, model_parallel=1)
+    dp = InferenceEngine(params, TINY, IDX_TO_TOKEN, max_boxes=5,
+                         smoothing=False, batch_size=4,
+                         batch_window_ms=50.0, mesh=mesh)
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 255, (60, 70, 3), dtype=np.uint8)
+            for _ in range(4)]
+    want = [single.process_array(im) for im in imgs]
+
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = dp.process_array(imgs[i])
+
+    ts_ = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts_:
+        t.start()
+    for t in ts_:
+        t.join(timeout=180)
+    for got, ref in zip(results, want):
+        assert got is not None
+        np.testing.assert_allclose(got["boxes"], ref["boxes"],
+                                   rtol=1e-4, atol=1e-3)
+        assert got["captions"] == ref["captions"]
