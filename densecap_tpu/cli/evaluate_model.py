@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--skip_losses", type=int, default=0)
     p.add_argument("--beam_size", type=int, default=0,
                    help="beam width for caption decoding (0 = greedy)")
+    p.add_argument("--pallas_roi_align", type=int, default=-1,
+                   help="-1 auto (fused TPU kernel at the standard "
+                        "512ch/7x7 geometry), 1 force on, 0 off")
     p.add_argument("--out_json", default="")
     args = p.parse_args(argv)
 
@@ -43,12 +46,15 @@ def main(argv=None):
     else:
         cfg = DenseCapConfig(vocab_size=loader.vocab_size(),
                              seq_length=loader.seq_length())
+    from ._common import pallas_roi_auto
+
     cfg = cfg.replace(
         image_size=loader.canvas,
         test_max_proposals=args.num_proposals,
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         max_gt_boxes=args.max_gt_boxes,
+        use_pallas_roi_align=pallas_roi_auto(args.pallas_roi_align, cfg),
     )
     mesh = None
     if args.data_parallel > 1:

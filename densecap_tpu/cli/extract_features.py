@@ -57,7 +57,12 @@ def main(argv=None):
             vocab_size=int(meta.get("vocab_size", 10000)),
             seq_length=int(meta.get("seq_length", 15)),
         )
-    cfg = cfg.replace(image_size=args.image_size)
+    from ._common import pallas_roi_auto
+
+    cfg = cfg.replace(
+        image_size=args.image_size,
+        use_pallas_roi_align=pallas_roi_auto(-1, cfg),
+    )
 
     fn = jax.jit(
         lambda p, im, h, w: densecap.extract_features(

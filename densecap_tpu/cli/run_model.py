@@ -44,6 +44,9 @@ def build_argparser():
                         "vis/view_results.html browser can show them")
     p.add_argument("--max_images", type=int, default=100)
     p.add_argument("--beam_size", type=int, default=0)
+    p.add_argument("--pallas_roi_align", type=int, default=-1,
+                   help="-1 auto (fused TPU kernel at the standard "
+                        "512ch/7x7 geometry), 1 force on, 0 off")
     p.add_argument("--native_io", type=int, default=1,
                    help="use the threaded C++ JPEG->canvas pipeline "
                         "(native/dcio.cpp) for --input_dir batches; "
@@ -124,6 +127,7 @@ def main(argv=None):
     from ..utils import checkpoint as ckpt
     from ..utils.image import load_image, preprocess_for_model
     from ..utils.text import decode_sequence
+    from ._common import pallas_roi_auto as _pallas_auto
 
     params, extra = ckpt.load_params(args.checkpoint)
     meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
@@ -141,6 +145,7 @@ def main(argv=None):
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         test_max_proposals=args.num_proposals,
+        use_pallas_roi_align=_pallas_auto(args.pallas_roi_align, cfg),
     )
     vocab_size = cfg.vocab_size
 
