@@ -36,3 +36,36 @@ def preprocess_for_model(rgb, image_size=720):
     canvas = np.zeros((image_size, image_size, 3), dtype=np.float32)
     canvas[:H, :W] = arr
     return canvas, float(H), float(W), scale
+
+
+def parse_buckets(spec, image_size):
+    """'720x544,544x720' -> sorted [(h, w), ...] + the square fallback.
+
+    Buckets trade compile count for trunk FLOPs: a 720x540 image on a
+    720x544 canvas does ~25% less conv work than on the 720x720 square,
+    with EXACTLY equal outputs (canvas masking; tested in
+    tests/test_canvas_parity.py). Dims must be multiples of 16 so the
+    /16 feature grid stays exact.
+    """
+    buckets = set()
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        h, w = (int(v) for v in part.lower().split("x"))
+        if h % 16 or w % 16:
+            raise ValueError(f"bucket {part}: dims must be multiples of 16")
+        if h > image_size or w > image_size:
+            raise ValueError(f"bucket {part} exceeds image_size {image_size}")
+        buckets.add((h, w))
+    buckets.add((image_size, image_size))
+    return sorted(buckets, key=lambda b: b[0] * b[1])
+
+
+def pick_bucket(h, w, buckets):
+    """Smallest-area bucket that fits a true (h, w) extent; buckets must
+    come from parse_buckets (always contains the square fallback)."""
+    for bh, bw in buckets:
+        if h <= bh and w <= bw:
+            return bh, bw
+    return buckets[-1]
