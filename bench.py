@@ -1,11 +1,19 @@
 """Benchmark: DenseCap inference throughput at 1000 proposals/image.
 
-Runs the flagship inference pass (VGG-16 trunk -> RPN over ~24k anchors
--> pre-top-k + masked NMS to 1000 RoIs -> fused Pallas RoI align ->
-4096-d recognition -> greedy LSTM decode) end-to-end on the attached
-TPU chip, bf16 compute, 8 images per compiled step with two steps in
-flight. Each sync is a scalar checksum fetch (block_until_ready does
-not reliably wait on this transport).
+Runs the flagship inference pass (VGG-16 trunk -> RPN -> pre-top-k +
+masked NMS to 1000 RoIs -> MXU-einsum RoI align -> 4096-d recognition
+-> greedy LSTM decode) end-to-end on the attached TPU chip, bf16
+compute, 8 images per compiled step with steps pipelined in flight.
+Each sync is a scalar checksum fetch (block_until_ready does not
+reliably wait on this transport).
+
+Workload: 4:3 images resized so the long edge is 720 (the reference's
+eval setting, run_model.lua:64-87 — it processes each 720x540 image at
+its true extent with dynamic shapes). We run them on the 720x544
+inference canvas bucket (run_model --canvas_buckets), which produces
+EXACTLY the square-canvas outputs (tests/test_canvas_parity.py) at the
+reference's FLOP profile; the square 720x720 canvas measures ~13%
+slower (doc/BENCH.md).
 
 Baseline: the reference's best published single-GPU figure is 10 FPS —
 at only 50 proposals and 480px input (README.md:168,
@@ -34,9 +42,10 @@ def main():
     from densecap_tpu.models import densecap
 
     cfg = DenseCapConfig(vocab_size=10000, test_max_proposals=1000,
-                         use_pallas_roi_align=True)
+                         roi_align_impl="mxu")
     S = cfg.image_size
-    B = 8
+    W = 544   # 720x544 canvas bucket: fits the 720x540 4:3 content,
+    B = 8     # /16-aligned (run_model --canvas_buckets 720x544)
 
     params = jax.device_put(
         densecap.init_params(jax.random.PRNGKey(0), cfg)
@@ -49,16 +58,17 @@ def main():
                 + jnp.sum(out.captions) + jnp.sum(out.num))
 
     batches = jax.device_put(
-        jax.random.normal(jax.random.PRNGKey(1), (2, B, S, S, 3),
+        jax.random.normal(jax.random.PRNGKey(1), (2, B, S, W, 3),
                           jnp.float32) * 30.0
     )
     hs = jnp.full((B,), float(S), jnp.float32)
-    ws = jnp.full((B,), S * 0.75, jnp.float32)
+    ws = jnp.full((B,), S * 0.75, jnp.float32)  # true content: 720x540
 
     # warmup / compile; the remote compile service has been seen to 500
     # on very large cold programs — fall back to single-image mode
     try:
         float(infer_checksum(params, batches[0], hs, ws))
+        float(infer_checksum(params, batches[1], hs, ws))  # steady-state
     except Exception as e:
         print(f"# batched compile failed ({type(e).__name__}); "
               "falling back to single-image", flush=True)
@@ -74,7 +84,7 @@ def main():
         hs, ws = hs[0], ws[0]
         float(infer_checksum(params, batches[0], hs, ws))
 
-    iters = 12
+    iters = 24  # longer window: the 1-core host + tunnel add jitter
     depth = 2
     futures = []
     t0 = time.perf_counter()

@@ -3,21 +3,35 @@
 from __future__ import annotations
 
 
-def pallas_roi_auto(flag: int, cfg) -> bool:
-    """Resolve a -1/0/1 --pallas_roi_align flag.
+def resolve_roi_impl(flag, cfg) -> str:
+    """Resolve a --roi_align flag to a roi_align_impl config value.
 
-    Auto (-1) enables the fused RoI-align kernel on TPU when the model
-    is at the kernel's tested envelope (512-channel features, 7x7
-    output — the standard VGG geometry that bench/serving run); other
-    geometries stay on the XLA gather path, which small channel counts
-    can require (Mosaic layout limits).
+    flag: "auto" | "gather" | "mxu" | "pallas" — or the legacy
+    --pallas_roi_align int (-1 auto, 0 gather, 1 pallas).
+
+    Auto picks the MXU einsum formulation on TPU at the kernel-tested
+    envelope (512-channel features, 7x7 output — the standard VGG
+    geometry that bench/serving run): measured fastest on v5e at
+    B=8x1000 RoIs (10.2 ms vs fused-Pallas 15.7 ms vs gather,
+    scripts/roi_kernel_sweep.py). Other geometries and CPU stay on the
+    XLA gather path (autodiff-able, layout-unconstrained).
     """
-    if flag == 0:
-        return False
-    if flag == 1:
-        return True
+    if flag in (0, "gather"):
+        return "gather"
+    if flag in (1, "pallas"):
+        return "pallas"
+    if flag == "mxu":
+        return "mxu"
     import jax
 
-    return (jax.devices()[0].platform == "tpu"
+    if (jax.devices()[0].platform == "tpu"
             and cfg.input_dim == 512
-            and cfg.output_height == 7 and cfg.output_width == 7)
+            and cfg.output_height == 7 and cfg.output_width == 7):
+        return "mxu"
+    return "gather"
+
+
+def pallas_roi_auto(flag: int, cfg) -> bool:
+    """DEPRECATED shim for the old bool flag: True only when the
+    resolver picks the Pallas kernel explicitly."""
+    return resolve_roi_impl(flag, cfg) == "pallas"

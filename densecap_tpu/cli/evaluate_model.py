@@ -27,8 +27,10 @@ def main(argv=None):
     p.add_argument("--beam_size", type=int, default=0,
                    help="beam width for caption decoding (0 = greedy)")
     p.add_argument("--pallas_roi_align", type=int, default=-1,
-                   help="-1 auto (fused TPU kernel at the standard "
-                        "512ch/7x7 geometry), 1 force on, 0 off")
+                   help="-1 auto (MXU einsum RoI align on TPU at the "
+                        "standard 512ch/7x7 geometry — fastest "
+                        "measured), 1 force the fused Pallas kernel, "
+                        "0 XLA gather")
     p.add_argument("--out_json", default="")
     args = p.parse_args(argv)
 
@@ -46,7 +48,7 @@ def main(argv=None):
     else:
         cfg = DenseCapConfig(vocab_size=loader.vocab_size(),
                              seq_length=loader.seq_length())
-    from ._common import pallas_roi_auto
+    from ._common import resolve_roi_impl
 
     cfg = cfg.replace(
         image_size=loader.canvas,
@@ -54,7 +56,7 @@ def main(argv=None):
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         max_gt_boxes=args.max_gt_boxes,
-        use_pallas_roi_align=pallas_roi_auto(args.pallas_roi_align, cfg),
+        roi_align_impl=resolve_roi_impl(args.pallas_roi_align, cfg),
     )
     mesh = None
     if args.data_parallel > 1:

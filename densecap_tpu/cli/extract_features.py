@@ -57,11 +57,11 @@ def main(argv=None):
             vocab_size=int(meta.get("vocab_size", 10000)),
             seq_length=int(meta.get("seq_length", 15)),
         )
-    from ._common import pallas_roi_auto
+    from ._common import resolve_roi_impl
 
     cfg = cfg.replace(
         image_size=args.image_size,
-        use_pallas_roi_align=pallas_roi_auto(-1, cfg),
+        roi_align_impl=resolve_roi_impl(-1, cfg),
     )
 
     fn = jax.jit(

@@ -84,8 +84,17 @@ class DenseCapConfig:
     # moves mAP by only +0.0001.
     test_pre_nms_topk: int = 6000
     # Serve RoI align from the fused Pallas kernel (TPU only; the jnp
-    # gather path remains the autodiff/train and CPU path)
+    # gather path remains the autodiff/train and CPU path).
+    # DEPRECATED alias for roi_align_impl="pallas"; ignored when
+    # roi_align_impl is set explicitly.
     use_pallas_roi_align: bool = False
+    # Test-path RoI-align implementation: "" (derive from the legacy
+    # bool above), "gather" (jnp gathers; autodiff/CPU default), "mxu"
+    # (two einsum contractions; fastest measured on TPU v5e — 10.2 vs
+    # pallas-bf16 15.7 vs gather ~60 ms at B=8x1000, doc/BENCH.md), or
+    # "pallas" (the fused kernel). CLI auto-resolution picks "mxu" on
+    # TPU at the standard 512ch/7x7 geometry.
+    roi_align_impl: str = ""
     # Run the NMS suppression sweep as one Pallas kernel (TPU only)
     use_pallas_nms: bool = False
 

@@ -231,13 +231,25 @@ def localize_test(
     roi_boxes = boxes[idx]
     roi_scores = probs[idx]
 
-    if cfg.use_pallas_roi_align:
+    impl = cfg.roi_align_impl or (
+        "pallas" if cfg.use_pallas_roi_align else "gather")
+    if impl == "pallas":
         from ..ops.pallas.roi_align_kernel import roi_align_pallas
 
         roi_feats = roi_align_pallas(
             feats, roi_boxes, img_h, img_w,
             cfg.output_height, cfg.output_width,
             feat_h=fh_valid, feat_w=fw_valid,
+            compute_dtype=cfg.compute_dtype,
+        )
+    elif impl == "mxu":
+        from ..ops.roi_align import roi_align_mxu
+
+        roi_feats = roi_align_mxu(
+            feats, roi_boxes, img_h, img_w,
+            cfg.output_height, cfg.output_width,
+            feat_h=fh_valid, feat_w=fw_valid,
+            compute_dtype=cfg.compute_dtype,
         )
     else:
         roi_feats = roi_align(

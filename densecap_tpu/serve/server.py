@@ -138,11 +138,12 @@ def main(argv=None):
         )
     import jax
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    from ..cli._common import resolve_roi_impl
+
     cfg = cfg.replace(
         image_size=args.image_size,
         test_max_proposals=args.num_proposals,
-        use_pallas_roi_align=on_tpu,
+        roi_align_impl=resolve_roi_impl(-1, cfg),
     )
     mesh = None
     if args.data_parallel > 1:
@@ -163,14 +164,15 @@ def main(argv=None):
     try:
         engine.warmup()
     except Exception as e:
-        if not cfg.use_pallas_roi_align:
+        if cfg.roi_align_impl in ("", "gather"):
             raise
-        # the Pallas RoI kernel supports the flagship geometry; small
-        # channel counts can hit Mosaic layout limits — fall back to the
-        # XLA gather path rather than refuse to serve
-        print(f"pallas roi_align failed to compile ({e!r}); "
-              f"falling back to the XLA gather path")
-        cfg = cfg.replace(use_pallas_roi_align=False)
+        # the mxu/pallas RoI formulations support the flagship
+        # geometry; unusual geometries can hit layout limits — fall
+        # back to the XLA gather path rather than refuse to serve
+        print(f"{cfg.roi_align_impl} roi_align failed to compile "
+              f"({e!r}); falling back to the XLA gather path")
+        cfg = cfg.replace(roi_align_impl="gather",
+                          use_pallas_roi_align=False)
         engine = build(cfg)
         engine.warmup()
 

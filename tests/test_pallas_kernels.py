@@ -27,7 +27,8 @@ def test_roi_align_pallas_matches_jnp():
     )
     ref = roi_align(feats, boxes, 190.0, 220.0, 7, 7)
     got = roi_align_pallas(
-        feats, boxes, 190.0, 220.0, 7, 7, tile_boxes=4, interpret=True
+        feats, boxes, 190.0, 220.0, 7, 7, tile_boxes=4, interpret=True,
+        compute_dtype=jnp.float32
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
@@ -43,6 +44,7 @@ def test_roi_align_pallas_cropped_extent():
     got = roi_align_pallas(
         jnp.asarray(full), boxes, 70.0, 90.0, 7, 7,
         feat_h=7, feat_w=9, tile_boxes=2, interpret=True,
+        compute_dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
@@ -67,10 +69,38 @@ def test_roi_align_pallas_padding_boxes():
     )
     ref = roi_align(feats, boxes, 128.0, 128.0, 7, 7)
     got = roi_align_pallas(feats, boxes, 128.0, 128.0, 7, 7,
-                           tile_boxes=4, interpret=True)
+                           tile_boxes=4, interpret=True,
+                           compute_dtype=jnp.float32)
     assert got.shape == (5, 7, 7, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_pallas_bf16_close():
+    """The serving-default bf16 contractions stay within bf16 rounding
+    of the f32 reference (relative ~1e-2; the rest of the test path
+    already computes in bf16 so this adds no new error class)."""
+    from densecap_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
+
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(12, 14, 8).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(10, 200, 23),
+                rng.uniform(10, 170, 23),
+                rng.uniform(4, 110, 23),
+                rng.uniform(4, 100, 23),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    ref = roi_align(feats, boxes, 190.0, 220.0, 7, 7)
+    got = roi_align_pallas(feats, boxes, 190.0, 220.0, 7, 7,
+                           interpret=True)  # default bf16, TB=18
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.03 * scale)
 
 
 def test_nms_pallas_matches_jnp():
