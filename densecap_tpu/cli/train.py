@@ -35,6 +35,12 @@ def build_argparser():
     p.add_argument("--sampler_high_thresh", type=float, default=0.7)
     p.add_argument("--sampler_low_thresh", type=float, default=0.3)
     p.add_argument("--train_remove_outbounds_boxes", type=int, default=1)
+    p.add_argument("--roi_align", default="auto",
+                   choices=["auto", "gather", "mxu"],
+                   help="RoI-align formulation for train+eval: auto "
+                        "picks the MXU einsum on TPU (f32, numerics "
+                        "identical to gather, scatter-free backward; "
+                        "+46% train step), gather elsewhere")
     p.add_argument("--mid_box_reg_weight", type=float, default=0.05)
     p.add_argument("--mid_objectness_weight", type=float, default=0.1)
     p.add_argument("--end_box_reg_weight", type=float, default=0.1)
@@ -134,7 +140,17 @@ def main(argv=None):
         drop_prob=args.drop_prob,
         max_gt_boxes=args.max_gt_boxes,
     )
-    print(f"vocab_size={cfg.vocab_size} seq_length={cfg.seq_length}")
+    # MXU-einsum RoI align: same tent weights in f32 (training numerics
+    # identical to the gather path, tests/test_roi_align.py grad-parity)
+    # but the backward is two einsums instead of a scatter-add —
+    # measured 125.6 -> 86.3 ms/step (+46%) on the flagship frozen-trunk
+    # train step, one v5e chip (doc/BENCH.md).
+    from ._common import resolve_roi_impl
+
+    cfg = cfg.replace(roi_align_impl=resolve_roi_impl(args.roi_align,
+                                                      cfg))
+    print(f"vocab_size={cfg.vocab_size} seq_length={cfg.seq_length} "
+          f"roi_align={cfg.roi_align_impl}")
 
     # data axis must evenly divide the global batch. Single-host: pick
     # the largest batch divisor that fits the devices (a partial mesh is

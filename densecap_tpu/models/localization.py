@@ -124,11 +124,23 @@ def localize_train(
 
     roi_boxes = jnp.concatenate([pos_boxes, neg_boxes], axis=0)
     fh_valid, fw_valid = feat_extent(img_h, img_w)
-    roi_feats = roi_align(
-        feats, roi_boxes, img_h, img_w,
-        cfg.output_height, cfg.output_width,
-        feat_h=fh_valid, feat_w=fw_valid,
-    )
+    if (cfg.roi_align_impl or "gather") == "mxu":
+        # einsum formulation: backward is two more einsums instead of
+        # the gather's scatter-add. f32 weights keep training numerics
+        # identical to the gather path (same tent weights).
+        from ..ops.roi_align import roi_align_mxu
+
+        roi_feats = roi_align_mxu(
+            feats, roi_boxes, img_h, img_w,
+            cfg.output_height, cfg.output_width,
+            feat_h=fh_valid, feat_w=fw_valid,
+        )
+    else:
+        roi_feats = roi_align(
+            feats, roi_boxes, img_h, img_w,
+            cfg.output_height, cfg.output_width,
+            feat_h=fh_valid, feat_w=fw_valid,
+        )
 
     # --- mid losses ----------------------------------------------------
     # objectness CE: positives labeled class 0, negatives class 1 (the

@@ -158,3 +158,36 @@ def test_boxes_gradcheck_numeric():
         bm[0, j] -= eps
         num = (loss_np(bp) - loss_np(bm)) / (2 * eps)
         np.testing.assert_allclose(float(g[0, j]), num, rtol=1e-3, atol=1e-5)
+
+
+def test_mxu_grads_match_gather():
+    """The MXU einsum formulation (the TPU train default,
+    cli/train.py --roi_align auto) must produce the same gradients as
+    the gather path — into feats AND boxes."""
+    from densecap_tpu.ops.roi_align import roi_align, roi_align_mxu
+
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(9, 11, 6).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(20, 120, 5),
+                rng.uniform(20, 100, 5),
+                rng.uniform(8, 70, 5),
+                rng.uniform(8, 60, 5),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    w = jnp.asarray(rng.randn(5, 7, 7, 6).astype(np.float32))
+
+    def loss(fn):
+        return lambda f, b: jnp.sum(fn(f, b, 130.0, 150.0, 7, 7) * w)
+
+    gf_ref, gb_ref = jax.grad(loss(roi_align), argnums=(0, 1))(feats, boxes)
+    gf_mxu, gb_mxu = jax.grad(loss(roi_align_mxu), argnums=(0, 1))(
+        feats, boxes)
+    np.testing.assert_allclose(np.asarray(gf_mxu), np.asarray(gf_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_mxu), np.asarray(gb_ref),
+                               rtol=1e-4, atol=1e-4)
