@@ -2,12 +2,22 @@
 
 FLOPs come from XLA's own cost analysis of the compiled program
 (`compiled.cost_analysis()["flops"]`) — the exact count of the program
-that actually runs, not a hand model. Device time is measured with the
-scalar-checksum sync (the tunnel's block_until_ready is unreliable);
-the fixed per-dispatch transport floor is measured separately on a tiny
-program and reported both ways.
+that actually runs, not a hand model.
 
-MFU = flops / (time * peak_bf16_flops). Peak table below by
+Two times are reported per program:
+  * synced   — dispatch + device + scalar-checksum fetch, serialized
+               (per-request latency through this dev tunnel);
+  * pipelined — N steps in flight, one sync at the end. Measured
+               round 2: this matches a lax.scan-amplified program
+               (one dispatch per K steps) to <1%, i.e. dispatch fully
+               overlaps device compute and the pipelined number IS
+               device time. MFU is computed from it. (The round-1
+               approach — subtracting a tiny-program dispatch floor
+               from the synced time — over-corrected: the fixed RPC
+               latency overlaps with compute, so it must not be
+               subtracted from a pipelined stream.)
+
+MFU = flops / (pipelined_time * peak_bf16_flops). Peak table below by
 device_kind; this environment attaches one TPU v5 lite (v5e,
 197 TFLOP/s bf16).
 
@@ -37,32 +47,54 @@ PEAK_BF16 = {
 
 
 def sync(x):
-    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]
-                         .astype(jnp.float32)))
+    # Fetch scalars DIRECTLY: a host-side jnp.sum is a separate tiny
+    # dispatch whose ~30 ms tunnel round-trip serializes with the
+    # pipeline and inflates per-step time (measured +30 ms vs bench.py,
+    # which fetches the in-program checksum scalar).
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if leaf.ndim == 0:
+        return float(leaf)
+    return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def measure(compiled_fn, args, iters=10):
-    v = compiled_fn(*args)
-    sync(v)
+def measure_synced(fn, args, iters=10):
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        sync(compiled_fn(*args))
+        sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
-def report(name, flops, dt, floor, peak, per_item=None):
-    adj = max(dt - floor, 1e-9)
+def measure_pipelined(fn, args, iters=16, depth=4):
+    """N dispatches in flight, one fetch per retired step.
+
+    With depth >= 2 the tunnel's per-dispatch latency fully overlaps
+    device compute (verified against a scan-amplified program), so
+    this is device time.
+    """
+    sync(fn(*args))
+    futures = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        futures.append(fn(*args))
+        if len(futures) > depth:
+            sync(futures.pop(0))
+    for f in futures:
+        sync(f)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, flops, dt_synced, dt_pipe, peak, per_item=None):
     line = {
         "program": name,
         "xla_flops": flops,
-        "ms_per_step": round(dt * 1e3, 2),
-        "ms_per_step_minus_dispatch": round(adj * 1e3, 2),
-        "tflops_per_s": round(flops / dt / 1e12, 1),
-        "mfu_pct": round(100 * flops / dt / peak, 1),
-        "mfu_pct_minus_dispatch": round(100 * flops / adj / peak, 1),
+        "ms_per_step_synced": round(dt_synced * 1e3, 2),
+        "ms_per_step_pipelined": round(dt_pipe * 1e3, 2),
+        "tflops_per_s": round(flops / dt_pipe / 1e12, 1),
+        "mfu_pct": round(100 * flops / dt_pipe / peak, 1),
     }
     if per_item:
-        line["items_per_sec"] = round(per_item / dt, 1)
+        line["items_per_sec"] = round(per_item / dt_pipe, 1)
     print(json.dumps(line))
     return line
 
@@ -76,15 +108,17 @@ def main():
     peak = PEAK_BF16.get(kind, 197e12)
     print(f"# device {kind}, peak bf16 {peak/1e12:.0f} TFLOP/s")
 
-    # ---- dispatch floor
+    # ---- tunnel round-trip on a tiny program (informational only;
+    # it overlaps with compute and is NOT subtracted from anything)
     tiny = jax.jit(lambda x: x * 2.0 + 1.0)
     xs = jax.device_put(jnp.ones((8, 128)))
-    floor = measure(tiny, (xs,), iters=20)
-    print(f"# dispatch floor {floor*1e3:.1f} ms")
+    floor = measure_synced(tiny, (xs,), iters=20)
+    print(f"# tiny-program round-trip {floor*1e3:.1f} ms "
+          "(overlaps with compute when pipelined)")
 
     # ---- flagship inference, B=8
     cfg = DenseCapConfig(vocab_size=10000, test_max_proposals=1000,
-                         use_pallas_roi_align=True)
+                         roi_align_impl="mxu")
     S, B = cfg.image_size, 8
     params = jax.device_put(densecap.init_params(jax.random.PRNGKey(0),
                                                  cfg))
@@ -93,22 +127,42 @@ def main():
     hs = jnp.full((B,), float(S), jnp.float32)
     ws = jnp.full((B,), S * 0.75, jnp.float32)
 
-    for NB in (8, 16):
-        imgs = images if NB == B else jnp.concatenate([images, images])
-        h2 = jnp.full((NB,), float(S), jnp.float32)
-        w2 = jnp.full((NB,), S * 0.75, jnp.float32)
-        infer = jax.jit(lambda p, im, h, w: densecap.forward_test_batch(
-            p, im, h, w, cfg).scores)
-        try:
-            compiled = infer.lower(params, imgs, h2, w2).compile()
-        except Exception as e:
-            print(f"# inference B={NB} compile failed: "
-                  f"{type(e).__name__}")
-            continue
-        inf_flops = compiled.cost_analysis()["flops"]
-        dt = measure(infer, (params, imgs, h2, w2))
-        report(f"inference B={NB} 720px 1000-prop", inf_flops, dt, floor,
-               peak, per_item=NB)
+    # (B=16 is known to exceed the Pallas RoI-align VMEM envelope —
+    # measured round 2 — and a failed compile can leave this backend
+    # in a bad state, so only the shipping B=8 program is measured.)
+    # The checksum lives INSIDE the jit so each sync fetches one scalar
+    # — a host-side jnp.sum adds an extra ~10 ms dispatch per step that
+    # the pipeline cannot hide.
+    # checksum ONLY the outputs the shipping path consumes (run_model
+    # writes boxes/scores/captions): touching every leaf would force
+    # the caption-logprob log_softmax that XLA otherwise dead-code
+    # eliminates — measured +53 ms/step of non-shipping work.
+    def _cks(p, im, h, w):
+        out = densecap.forward_test_batch(p, im, h, w, cfg)
+        return (jnp.sum(out.boxes) + jnp.sum(out.scores)
+                + jnp.sum(out.captions) + jnp.sum(out.num)
+                ).astype(jnp.float32)
+
+    infer = jax.jit(_cks)
+    compiled = infer.lower(params, images, hs, ws).compile()
+    inf_flops = compiled.cost_analysis()["flops"]
+    args = (params, images, hs, ws)
+    dt_s = measure_synced(infer, args)
+    dt_p = measure_pipelined(infer, args)
+    report(f"inference B={B} 720px 1000-prop sq-canvas", inf_flops,
+           dt_s, dt_p, peak, per_item=B)
+
+    # the shipping bench geometry: 720x544 canvas bucket (4:3 content)
+    W2 = 544
+    imgs_b = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(4), (B, S, W2, 3)) * 30.0)
+    inf_flops_b = infer.lower(params, imgs_b, hs, ws).compile(
+        ).cost_analysis()["flops"]
+    args_b = (params, imgs_b, hs, ws)
+    dt_sb = measure_synced(infer, args_b)
+    dt_pb = measure_pipelined(infer, args_b)
+    report(f"inference B={B} 720x544-bucket 1000-prop", inf_flops_b,
+           dt_sb, dt_pb, peak, per_item=B)
 
     # ---- flagship train step, B=8: with CNN-finetune backward (the
     # full program) and with the static trunk freeze (the default
@@ -146,14 +200,23 @@ def main():
         ).lower(new_state, batch, rng)
         tr_flops = tr_lowered.compile().cost_analysis()["flops"]
 
-        iters = 8
-        t0 = time.perf_counter()
-        st = new_state
-        for _ in range(iters):
-            st, losses = step(st, batch, rng)
-        sync(losses["total_loss"])
-        dt = (time.perf_counter() - t0) / iters
-        report(f"train_step B={B} 720px {label}", tr_flops, dt, floor,
+        # train_step donates its state arg, so the state MUST be
+        # threaded through the loop (reusing one state hits freed
+        # buffers). Threading also pipelines naturally: the state stays
+        # on device and only the final loss is fetched.
+        def run_chain(st, iters, sync_each):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, losses = step(st, batch, rng)
+                if sync_each:
+                    sync(losses["total_loss"])
+            if not sync_each:
+                sync(losses["total_loss"])
+            return (time.perf_counter() - t0) / iters, st
+
+        dt_s, new_state = run_chain(new_state, 6, True)
+        dt_p, new_state = run_chain(new_state, 10, False)
+        report(f"train_step B={B} 720px {label}", tr_flops, dt_s, dt_p,
                peak, per_item=B)
 
 
