@@ -31,6 +31,12 @@ def main(argv=None):
                         "standard 512ch/7x7 geometry — fastest "
                         "measured), 1 force the fused Pallas kernel, "
                         "0 XLA gather")
+    p.add_argument("--canvas_buckets", default="",
+                   help="comma list of HxW inference canvases (e.g. "
+                        "720x544,544x720) for the batched test pass; "
+                        "each batch runs on the smallest listed bucket "
+                        "covering its examples — identical outputs, "
+                        "less padded-square conv waste")
     p.add_argument("--out_json", default="")
     args = p.parse_args(argv)
 
@@ -68,12 +74,18 @@ def main(argv=None):
                 f"--data_parallel {args.data_parallel}")
         mesh = meshlib.make_mesh(n_devices=args.data_parallel,
                                  model_parallel=1)
+    buckets = None
+    if args.canvas_buckets:
+        from ..utils.image import parse_buckets
+
+        buckets = parse_buckets(args.canvas_buckets, loader.canvas)
     split = {"val": 1, "test": 2}[args.split]
     results = eval_split(params, loader, cfg, split=split,
                          max_images=args.max_images,
                          beam_size=args.beam_size,
                          compute_losses=not args.skip_losses,
-                         batch_size=args.batch_size, mesh=mesh)
+                         batch_size=args.batch_size, mesh=mesh,
+                         canvas_buckets=buckets)
     print(json.dumps({
         "map": results["ap_results"]["map"],
         "detmap": results["ap_results"]["detmap"],

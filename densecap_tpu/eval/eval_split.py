@@ -16,7 +16,8 @@ from .evaluator import DenseCaptioningEvaluator
 
 def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
                loss_rng=None, verbose=True, beam_size=0,
-               compute_losses=True, batch_size=1, mesh=None):
+               compute_losses=True, batch_size=1, mesh=None,
+               canvas_buckets=None):
     """Evaluate `params` on a split.
 
     compute_losses=False skips the per-image training-loss pass (the
@@ -30,6 +31,12 @@ def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
     'data', XLA splits the program across devices (requires batch_size
     to be a multiple of the data axis). The reference has no
     multi-device evaluation at all.
+
+    canvas_buckets: optional list of (h, w) inference canvases (from
+    utils.image.parse_buckets). Each batch is cropped to the smallest
+    bucket covering every example in it — identical outputs (canvas
+    masking; tests/test_canvas_parity.py) at up to ~25% less trunk
+    work for 4:3-dominated splits. Each bucket shape compiles once.
     """
     if batch_size > 1:
         compute_losses = False
@@ -99,11 +106,22 @@ def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
             n_real = len(exs)
             while len(exs) < batch_size:  # pad the tail batch
                 exs.append(exs[-1])
-            ims = jnp.asarray(np.stack([e["image"] for e in exs]))
+            ims = np.stack([e["image"] for e in exs])
             hs = jnp.asarray(np.asarray([e["height"] for e in exs],
                                         np.float32))
             ws = jnp.asarray(np.asarray([e["width"] for e in exs],
                                         np.float32))
+            if canvas_buckets:
+                from ..utils.image import pick_bucket
+
+                bh = max(pick_bucket(e["height"], e["width"],
+                                     canvas_buckets)[0] for e in exs)
+                bw = max(pick_bucket(e["height"], e["width"],
+                                     canvas_buckets)[1] for e in exs)
+                # cover (bh, bw) with a listed bucket so shapes stay few
+                bh, bw = pick_bucket(bh, bw, canvas_buckets)
+                ims = ims[:, :bh, :bw]
+            ims = jnp.asarray(ims)
             if batch_shard is not None:
                 ims = jax.device_put(ims, batch_shard)
                 hs = jax.device_put(hs, batch_shard)

@@ -58,12 +58,15 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--finetune", action="store_true")
+    ap.add_argument("--roi_align", default="mxu",
+                    choices=["gather", "mxu"])
     args = ap.parse_args()
 
     cfg = DenseCapConfig(
         vocab_size=10000, seq_length=L, image_size=S,
         sampler_batch_size=256, max_gt_boxes=G,
         static_freeze_cnn=not args.finetune,
+        roi_align_impl=args.roi_align,
     )
     n_train = 48
     tr = make_scenes(n_train, seed=0)

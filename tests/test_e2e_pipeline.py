@@ -178,3 +178,27 @@ def test_eval_split_data_parallel_matches_sequential(dataset):
     assert abs(seq["ap_results"]["map"] - dp["ap_results"]["map"]) < 1e-6
     assert abs(seq["ap_results"]["detmap"]
                - dp["ap_results"]["detmap"]) < 1e-6
+
+
+def test_eval_split_bucketed_matches_square(dataset):
+    """Batched eval on a cropped canvas bucket must reproduce the
+    square-canvas results exactly (canvas masking makes the padding
+    inert; backs evaluate_model --canvas_buckets)."""
+    from densecap_tpu.utils.image import parse_buckets
+
+    h5_out, json_out = dataset
+    loader = DenseCapLoader(h5_out, json_out, max_gt_boxes=4)
+    cfg = _cfg(loader)
+    params = __import__("densecap_tpu.models.densecap",
+                        fromlist=["densecap"]).init_params(
+        jax.random.PRNGKey(3), cfg)
+    sq = eval_split(params, loader, cfg, split=0, max_images=4,
+                    verbose=False, batch_size=2)
+    # 72x96 originals resize to 48x64 on the 64-canvas -> the 48x64
+    # bucket actually crops
+    buckets = parse_buckets("48x64", loader.canvas)
+    bk = eval_split(params, loader, cfg, split=0, max_images=4,
+                    verbose=False, batch_size=2, canvas_buckets=buckets)
+    assert abs(sq["ap_results"]["map"] - bk["ap_results"]["map"]) < 1e-6
+    assert abs(sq["ap_results"]["detmap"]
+               - bk["ap_results"]["detmap"]) < 1e-6
