@@ -44,8 +44,11 @@ def main(argv=None):
             vocab_size=int(meta.get("vocab_size", 10000)),
             seq_length=int(meta.get("seq_length", 15)),
         )
+    from ..cli._common import resolve_roi_impl
+
     cfg = cfg.replace(image_size=args.image_size,
-                      test_max_proposals=args.num_proposals)
+                      test_max_proposals=args.num_proposals,
+                      roi_align_impl=resolve_roi_impl(-1, cfg))
     engine = InferenceEngine(params, cfg, meta.get("idx_to_token", {}),
                              max_boxes=args.max_boxes)
     print("compiling model...")
