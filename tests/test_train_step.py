@@ -174,3 +174,23 @@ def test_static_freeze_cnn_cuts_backward_flops():
     # the trunk backward is a large share of total step FLOPs even at
     # tiny geometry; require a material cut, not exact accounting
     assert frozen < 0.9 * dense, (frozen, dense)
+
+
+def test_mxu_roi_train_step_matches_gather():
+    """The TPU train default (roi_align_impl='mxu', cli/train.py
+    --roi_align auto) must compute the same losses as the gather path
+    — same tent weights, dense-einsum formulation."""
+    batch = _batch()
+    rng = jax.random.PRNGKey(5)
+    losses = {}
+    for impl in ("gather", "mxu"):
+        cfg = TINY.replace(roi_align_impl="" if impl == "gather"
+                           else "mxu")
+        state, tx = ts.init_state(jax.random.PRNGKey(0), cfg,
+                                  learning_rate=1e-3)
+        _, ls = ts.train_step(state, batch, rng, cfg, tx)
+        losses[impl] = {k: float(v) for k, v in ls.items()}
+    for k in losses["gather"]:
+        np.testing.assert_allclose(
+            losses["mxu"][k], losses["gather"][k], rtol=2e-4, atol=1e-5,
+            err_msg=f"loss {k} diverges between roi_align impls")
