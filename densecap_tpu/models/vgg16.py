@@ -64,9 +64,13 @@ def init_trunk(key, cfg, cin):
 def conv2d_same(x, p, compute_dtype):
     """3x3 'same' conv + bias, NHWC/HWIO.
 
-    Runs in compute_dtype (MXU accumulates f32 internally); the output
-    is upcast to f32 before the bias. No preferred_element_type: its
-    conv transpose rule rejects mixed f32 cotangent / bf16 operands, and
+    Runs in compute_dtype (MXU accumulates f32 internally) and KEEPS
+    the output in compute_dtype: upcasting every activation to f32
+    between convs doubled the trunk's HBM traffic (720px activations
+    are 100+ MB/layer/image) for one rounding step of precision the
+    bf16 conv chain doesn't have anyway. The trunk's final output is
+    upcast once in apply_trunk. No preferred_element_type: its conv
+    transpose rule rejects mixed f32 cotangent / bf16 operands, and
     XLA's native f32 accumulation makes it redundant here.
     """
     y = lax.conv_general_dilated(
@@ -76,7 +80,7 @@ def conv2d_same(x, p, compute_dtype):
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y.astype(jnp.float32) + p["b"]
+    return y + p["b"].astype(compute_dtype)
 
 
 def max_pool_2x2(x):
@@ -101,7 +105,7 @@ def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
     after EVERY conv, so each conv's SAME padding reads exactly the
     zeros a cropped-image run would read from its zero padding — the
     canvas run then equals the reference's cropped run EXACTLY (not
-    approximately; asserted by tests/test_canvas_vs_cropped.py). The
+    approximately; asserted by the canvas==cropped tests in tests/test_densecap_model.py). The
     extent floor-halves at each pool, mirroring torch SpatialMaxPooling
     sizing. Cost: one fused elementwise multiply per conv.
     """
@@ -128,7 +132,10 @@ def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
             if masked:
                 x = x * _extent_mask(x.shape[1], x.shape[2], eh, ew,
                                      x.dtype)
-    return x
+    # one upcast at the stack boundary; inside, activations stay in
+    # compute_dtype (masking zeros are exact in any dtype, so canvas ==
+    # cropped equality is unaffected)
+    return x.astype(jnp.float32)
 
 
 def init_recog(key, in_dim=7 * 7 * 512, fc_dim=4096):
