@@ -131,3 +131,23 @@ def test_nms_jit_and_all_invalid():
     f = jax.jit(lambda b, s, v: nms(b, s, 0.7, 5, valid=v))
     idx, ov = f(boxes, scores, jnp.zeros(7, dtype=bool))
     assert not np.asarray(ov).any()
+
+
+def test_nms_early_exit_matches_full_sweep():
+    """K << N forces the sweep's early exit (prefix survivors >= K
+    after few tiles); the first-K output must equal the numpy greedy
+    reference exactly — later unprocessed alive bits must not leak."""
+    rng = np.random.RandomState(11)
+    n = 600
+    # spread boxes: little suppression, so survivors accumulate fast
+    xy = rng.uniform(1, 5000, size=(n, 2))
+    wh = rng.uniform(5, 30, size=(n, 2))
+    bs = np.concatenate(
+        [xy, xy + wh, rng.permutation(n)[:, None].astype(np.float64)],
+        axis=1)
+    for k in (10, 50, 130):
+        idx, valid = nms(jnp.asarray(bs[:, :4]), jnp.asarray(bs[:, 4]),
+                         0.5, k, tile_size=64)
+        ref = _numpy_greedy(bs, 0.5, k)
+        got = np.asarray(idx)[np.asarray(valid)]
+        np.testing.assert_array_equal(got, ref)
