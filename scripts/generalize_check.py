@@ -63,6 +63,7 @@ def main(steps=4000, n_train=160, n_val=16):
         sampler_batch_size=64, max_gt_boxes=G, test_max_proposals=50,
         rnn_size=64, rnn_encoding_size=64, fc_dim=256,
         rpn_num_filters=64, drop_prob=0.0,
+        roi_align_impl="mxu",   # the shipping TPU train/test path
     )
     tr = make_scenes(n_train, seed=0)
     va = make_scenes(n_val, seed=777)  # disjoint layouts
