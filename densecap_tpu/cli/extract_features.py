@@ -26,12 +26,16 @@ def main(argv=None):
     p.add_argument("--boxes_per_image", type=int, default=100)
     p.add_argument("--final_nms_thresh", type=float, default=0.4)
     p.add_argument("--max_images", type=int, default=-1)
+    p.add_argument("--canvas_buckets", default="",
+                   help="comma list of HxW inference canvases (same "
+                        "semantics as run_model)")
     args = p.parse_args(argv)
 
     from ..config import DenseCapConfig
     from ..models import densecap
     from ..utils import checkpoint as ckpt
-    from ..utils.image import load_image, preprocess_for_model
+    from ..utils.image import (load_image, parse_buckets, pick_bucket,
+                               preprocess_for_model)
 
     if args.input_txt:
         with open(args.input_txt) as f:
@@ -80,9 +84,14 @@ def main(argv=None):
         d_feats = h5.create_dataset("feats", (N, B, cfg.fc_dim),
                                     dtype=np.float32)
         d_valid = h5.create_dataset("valid", (N, B), dtype=bool)
+        buckets = (parse_buckets(args.canvas_buckets, args.image_size)
+                   if args.canvas_buckets else None)
         for i, path in enumerate(paths):
             rgb = load_image(path)
             canvas, h, w, scale = preprocess_for_model(rgb, args.image_size)
+            if buckets is not None:
+                bh, bw = pick_bucket(h, w, buckets)
+                canvas = canvas[:bh, :bw]
             boxes, feats, valid = fn(
                 params, jnp.asarray(canvas), jnp.float32(h), jnp.float32(w)
             )
