@@ -98,6 +98,11 @@ class DenseCapConfig:
     # Run the NMS suppression sweep as one Pallas kernel (TPU only)
     use_pallas_nms: bool = False
 
+    # conv1_1 via 2x2 space-to-depth (EXACT same outputs; ~4x faster on
+    # the MXU because the C=3 input otherwise wastes the contraction
+    # lanes — see models/vgg16.py:conv1_1_s2d)
+    conv1_s2d: bool = True
+
     # numerics: conv/matmul compute dtype (params & accums stay f32)
     compute_dtype: Any = jnp.bfloat16
 

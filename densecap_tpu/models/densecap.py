@@ -120,7 +120,7 @@ def features(params, image, cfg: DenseCapConfig, img_h=None, img_w=None):
     def run(p1, p2, img, eh, ew):
         x = img[None]
         x = apply_trunk(p1, TRUNK1_CFG, x, cfg.compute_dtype,
-                        valid_h=eh, valid_w=ew)
+                        valid_h=eh, valid_w=ew, s2d_first=cfg.conv1_s2d)
         # The reference NEVER backprops through conv1_1..pool2: its
         # manual backward starts at layer 11 (DenseCapModel.lua:338-358)
         # regardless of -finetune_cnn_after. Cutting the graph here both
@@ -146,7 +146,7 @@ def features(params, image, cfg: DenseCapConfig, img_h=None, img_w=None):
 
 
 def forward_train(params, image, img_h, img_w, gt_boxes, gt_labels,
-                  gt_valid, rng, cfg: DenseCapConfig):
+                  gt_valid, rng, cfg: DenseCapConfig, debug_sampler=None):
     """Single-image training objective -> dict of losses.
 
     image: (S, S, 3) float canvas (BGR, VGG-mean subtracted);
@@ -155,6 +155,11 @@ def forward_train(params, image, img_h, img_w, gt_boxes, gt_labels,
 
     Loss menu = DenseCapModel:forward_backward (DenseCapModel.lua:401-459)
     plus the RPN mid losses computed inside the localization layer.
+
+    debug_sampler: optional dict(pos=(P,), neg=(M,)) deterministic
+    sampler-ordinal injection (the reference's debug hooks,
+    BoxSampler.lua:154-159) — used by the training transliteration
+    parity test to pin both implementations to identical pos/neg sets.
     """
     k_sample, k_drop = jax.random.split(rng)
     feats = features(params, image, cfg, img_h, img_w)
@@ -162,6 +167,7 @@ def forward_train(params, image, img_h, img_w, gt_boxes, gt_labels,
     loc = localize_train(
         params["rpn"], feats, img_h, img_w,
         gt_boxes, gt_labels, gt_valid, k_sample, cfg, cfg.anchor_array(),
+        debug_sampler=debug_sampler,
     )
 
     P = loc.pos_valid.shape[0]

@@ -74,11 +74,18 @@ def localize_train(
     rng,              # PRNG key for the sampler
     cfg,              # DenseCapConfig
     anchor_sizes,     # (k, 2)
+    debug_sampler=None,  # optional dict(pos=(P,), neg=(M,)) ordinal
+                         # injection, see ops/sampler.sample_rois
 ) -> LocalizeTrainOut:
     Hf, Wf, _ = feats.shape
+    fh_valid, fw_valid = feat_extent(img_h, img_w)
+    center_ok = _anchor_center_valid(
+        Hf, Wf, anchor_sizes.shape[0], fh_valid, fw_valid
+    )
     rpn_out = apply_rpn(
         rpn_params, feats, anchor_sizes, cfg.field_centers,
         box_reg_decay=cfg.box_reg_decay, compute_dtype=cfg.compute_dtype,
+        decay_mask=center_ok,
     )
 
     bounds = None
@@ -91,13 +98,9 @@ def localize_train(
 
     # Padded-canvas anchors whose centers fall off the true image are
     # treated as out of bounds regardless (the reference never sees them
-    # because it runs on the cropped image).
-    fh_valid, fw_valid = feat_extent(img_h, img_w)
-    center_ok = _anchor_center_valid(
-        Hf, Wf, anchor_sizes.shape[0], fh_valid, fw_valid
-    )
-    # implement by pushing dead anchors far out of bounds so both the
-    # bounds mask and IoU reject them
+    # because it runs on the cropped image). Implement by pushing dead
+    # anchors far out of bounds so both the bounds mask and IoU reject
+    # them.
     boxes_eff = jnp.where(
         center_ok[:, None], rpn_out.boxes,
         jnp.array([-1e6, -1e6, 1.0, 1.0], dtype=rpn_out.boxes.dtype),
@@ -111,6 +114,10 @@ def localize_train(
         bounds=bounds,
         candidate_mask=center_ok,  # padded-canvas anchors are never
                                    # eligible, even with bounds removal off
+        debug_pos_sample_idx=(
+            None if debug_sampler is None else debug_sampler["pos"]),
+        debug_neg_sample_idx=(
+            None if debug_sampler is None else debug_sampler["neg"]),
     )
 
     pos_boxes = rpn_out.boxes[s.pos_input_idx]
@@ -123,7 +130,6 @@ def localize_train(
     pos_target_labels = gt_labels[s.pos_target_idx]
 
     roi_boxes = jnp.concatenate([pos_boxes, neg_boxes], axis=0)
-    fh_valid, fw_valid = feat_extent(img_h, img_w)
     if (cfg.roi_align_impl or "gather") == "mxu":
         # einsum formulation: backward is two more einsums instead of
         # the gather's scatter-add. f32 weights keep training numerics

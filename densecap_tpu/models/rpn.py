@@ -71,10 +71,16 @@ def _conv(x, p, padding, compute_dtype):
 
 
 def apply_rpn(params, feats, anchor_sizes, field_centers,
-              box_reg_decay=0.0, compute_dtype=jnp.bfloat16) -> RPNOut:
+              box_reg_decay=0.0, compute_dtype=jnp.bfloat16,
+              decay_mask=None) -> RPNOut:
     """feats: (H', W', C) single-image conv features (vmap for batch).
 
     anchor_sizes: (k, 2) anchor (w, h) sizes.
+    decay_mask: optional (k*H*W,) bool — anchors outside the true image
+    extent on a padded canvas are excluded from the RegularizeLayer loss
+    (the reference's cropped run never materializes them; without the
+    mask the box-conv BIAS at dead positions would leak into the decay
+    term and its gradient).
     """
     Hf, Wf, _ = feats.shape
     k = anchor_sizes.shape[0]
@@ -90,6 +96,9 @@ def apply_rpn(params, feats, anchor_sizes, field_centers,
     boxes = apply_box_transform(anchors, trans)
 
     # RegularizeLayer (LocalizationLayer.lua:652, RegularizeLayer.lua:11-22)
-    decay = 0.5 * box_reg_decay * jnp.sum(jnp.square(trans))
+    sq = jnp.square(trans)
+    if decay_mask is not None:
+        sq = sq * decay_mask[:, None]
+    decay = 0.5 * box_reg_decay * jnp.sum(sq)
     return RPNOut(boxes=boxes, anchors=anchors, trans=trans,
                   scores=scores, box_decay_loss=decay)

@@ -20,6 +20,8 @@ Checkpoint conversion note: torch flattens RoI features channel-major
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -89,6 +91,74 @@ def max_pool_2x2(x):
     )
 
 
+def _s2d_block_kernel(w):
+    """Re-lay a (3, 3, Cin, Cout) stride-1 kernel for 2x2 space-to-depth.
+
+    Returns (3, 3, 4*Cin, 4*Cout): a conv over the (H/2, W/2, 4*Cin)
+    space-to-depth input whose depth-to-space'd output equals the
+    original SAME conv EXACTLY (invalid taps carry literal zeros).
+
+    Derivation: output pixel (2i+di, 2j+dj) reads input rows
+    2i+di+u-1 for kernel tap u; in block space that is block i+delta
+    with in-block offset dr where u = 2*delta + dr - di + 1. Valid taps
+    have u in [0, 3); everything else is zero.
+    """
+    Cin, Cout = w.shape[2], w.shape[3]
+    U = np.arange(3)[:, None, None]
+    dr = np.arange(2)[None, :, None]
+    di = np.arange(2)[None, None, :]
+    u = 2 * (U - 1) + dr - di + 1          # (3, 2, 2)
+    uval = (u >= 0) & (u <= 2)
+    uc = np.clip(u, 0, 2)
+    # index arrays over (U, V, dr, dc, di, dj)
+    UU = uc[:, None, :, None, :, None]
+    VV = uc[None, :, None, :, None, :]
+    mask = (uval[:, None, :, None, :, None]
+            & uval[None, :, None, :, None, :])
+    UU, VV, mask = np.broadcast_arrays(UU, VV, mask)
+    # gather: (U, V, dr, dc, di, dj, Cin, Cout)
+    w6 = w[UU, VV] * jnp.asarray(mask[..., None, None], w.dtype)
+    # -> (U, V, (dr, dc, Cin), (di, dj, Cout))
+    w6 = jnp.transpose(w6, (0, 1, 2, 3, 6, 4, 5, 7))
+    return w6.reshape(3, 3, 4 * Cin, 4 * Cout)
+
+
+def conv1_1_s2d(x, p, compute_dtype):
+    """conv1_1 via 2x2 space-to-depth: EXACT same outputs, ~4x faster.
+
+    The C=3 input of conv1_1 leaves the MXU's 128-wide contraction dim
+    ~3/4 empty (measured ~3% MFU, 2.8 ms/step at B=8 — doc/BENCH.md
+    trunk table). Space-to-depth re-lays the conv as (H/2, W/2, 12) x
+    (3, 3, 12, 256): 4x the nominal FLOPs (the block kernel is 3/4
+    zeros) but a 108-deep contraction, netting a large wall-clock win.
+    Zero weights are exact, so outputs are bit-identical up to XLA's
+    data-independent summation order — canvas==cropped exactness is
+    preserved because crops are block-aligned at (0, 0).
+
+    Odd H/W are zero-padded to even and the output cropped back; the
+    explicit zeros coincide with the SAME padding the plain conv reads.
+    """
+    N, H, W, C = x.shape
+    Hp, Wp = H + (H % 2), W + (W % 2)
+    if (Hp, Wp) != (H, W):
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    xd = x.astype(compute_dtype)
+    x2 = xd.reshape(N, Hp // 2, 2, Wp // 2, 2, C)
+    x2 = jnp.transpose(x2, (0, 1, 3, 2, 4, 5)).reshape(
+        N, Hp // 2, Wp // 2, 4 * C)
+    w2 = _s2d_block_kernel(p["w"].astype(compute_dtype))
+    y2 = lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (N, Hp/2, Wp/2, 4*Cout)
+    Cout = p["w"].shape[3]
+    y = y2.reshape(N, Hp // 2, Wp // 2, 2, 2, Cout)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(N, Hp, Wp, Cout)
+    if (Hp, Wp) != (H, W):
+        y = y[:, :H, :W]
+    return y + p["b"].astype(compute_dtype)
+
+
 def _extent_mask(H, W, eh, ew, dtype):
     """(H, W, 1) mask: 1 inside the valid (eh, ew) extent, 0 in padding."""
     rows = jnp.arange(H, dtype=jnp.float32) < eh
@@ -97,7 +167,7 @@ def _extent_mask(H, W, eh, ew, dtype):
 
 
 def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
-                valid_h=None, valid_w=None):
+                valid_h=None, valid_w=None, s2d_first=False):
     """Run a conv stack. x: (N, H, W, C) f32. Returns f32 activations.
 
     valid_h/valid_w (python or traced scalars): true image extent on a
@@ -111,6 +181,7 @@ def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
     """
     eh, ew = valid_h, valid_w
     masked = valid_h is not None
+    first_conv = True
     for item in cfg:
         if item == "M":
             x = max_pool_2x2(x)
@@ -128,7 +199,11 @@ def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
                                      x.dtype)
         else:
             name, _ = item
-            x = jax.nn.relu(conv2d_same(x, params[name], compute_dtype))
+            if first_conv and s2d_first:
+                x = jax.nn.relu(conv1_1_s2d(x, params[name], compute_dtype))
+            else:
+                x = jax.nn.relu(conv2d_same(x, params[name], compute_dtype))
+            first_conv = False
             if masked:
                 x = x * _extent_mask(x.shape[1], x.shape[2], eh, ew,
                                      x.dtype)

@@ -142,10 +142,31 @@ def compute_match_masks(
     neg_mask = neg_mask & ~forced
 
     # No-negatives fallback (BoxSampler.lua:111-128): if nothing is
-    # negative, everything non-positive becomes negative.
+    # negative, everything non-positive becomes negative. The reference's
+    # fallback set is "all real anchors not positive"; on a padded canvas
+    # the equivalent is ~pos restricted to live candidates — dead
+    # padded-canvas anchors only enter if even that set is empty (a
+    # degenerate tiny image where every live anchor is a forced positive).
     any_neg = jnp.any(neg_mask)
-    neg_mask = jnp.where(any_neg, neg_mask, ~pos_mask)
+    fallback = ~pos_mask
+    if candidate_mask is not None:
+        live_fallback = fallback & candidate_mask
+        fallback = jnp.where(jnp.any(live_fallback), live_fallback, fallback)
+    neg_mask = jnp.where(any_neg, neg_mask, fallback)
     return pos_mask, neg_mask, input_idx, ~any_neg
+
+
+def _nth_true_index(mask, ordinals):
+    """Index of the n-th True entry of mask (ascending index order).
+
+    The jit-safe analogue of the reference's pos_mask:nonzero() list
+    (BoxSampler.lua:131-134): argsort puts True entries first in stable
+    ascending-index order, so ordinal n maps to the n-th candidate.
+    Ordinals past the candidate count alias into the False tail and must
+    be masked by validity downstream.
+    """
+    order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
+    return order[ordinals].astype(jnp.int32)
 
 
 def sample_rois(
@@ -159,8 +180,18 @@ def sample_rois(
     high_thresh: float = 0.7,
     bounds=None,   # dict(x_min, y_min, x_max, y_max) or None
     candidate_mask=None,
+    debug_pos_sample_idx=None,  # (P,) int32 ordinals into the eligible-
+    debug_neg_sample_idx=None,  # (M,) int32  positive/negative lists
 ) -> SamplerOutput:
-    """Sample positive/negative proposals against ground truth boxes."""
+    """Sample positive/negative proposals against ground truth boxes.
+
+    debug_pos_sample_idx / debug_neg_sample_idx replicate the reference's
+    deterministic test hooks (BoxSampler.lua:154-159): when given, they
+    replace the random draw with explicit ORDINALS into the sorted
+    eligible candidate lists (the nonzero() order of pos_mask/neg_mask).
+    Eligibility masks, forced best-match positives, bounds exclusion and
+    the no-negatives fallback still run — only the draw is overridden.
+    """
     P = batch_size // 2
     M = batch_size
 
@@ -175,8 +206,16 @@ def sample_rois(
     )
 
     kp, kn = jax.random.split(key)
-    pos_idx, total_pos = _gumbel_topk_select(kp, pos_mask, P)
-    neg_idx, total_neg = _gumbel_topk_select(kn, neg_mask, M)
+    if debug_pos_sample_idx is not None:
+        pos_idx = _nth_true_index(pos_mask, debug_pos_sample_idx)
+        total_pos = jnp.sum(pos_mask.astype(jnp.int32))
+    else:
+        pos_idx, total_pos = _gumbel_topk_select(kp, pos_mask, P)
+    if debug_neg_sample_idx is not None:
+        neg_idx = _nth_true_index(neg_mask, debug_neg_sample_idx)
+        total_neg = jnp.sum(neg_mask.astype(jnp.int32))
+    else:
+        neg_idx, total_neg = _gumbel_topk_select(kn, neg_mask, M)
 
     num_pos = jnp.minimum(P, total_pos)
     num_neg = batch_size - num_pos

@@ -93,15 +93,18 @@ def test_loss_decreases_on_fixed_batch():
     state, tx = ts.init_state(jax.random.PRNGKey(0), TINY,
                               learning_rate=1e-3)
     batch = _batch()
-    first = None
     rng = jax.random.PRNGKey(42)
-    for i in range(25):
+    hist = []
+    for i in range(40):
         # fixed dropout/sampling rng -> deterministic objective
         state, losses = ts.train_step(state, batch, rng, TINY, tx)
-        if first is None:
-            first = float(losses["total_loss"])
-    last = float(losses["total_loss"])
-    assert last < first, (first, last)
+        hist.append(float(losses["total_loss"]))
+    # The first ~10 steps are chaotic (adam warmup on a 5-term objective
+    # whose sampler-dependent terms shift as the RPN moves); compare
+    # head/tail window means rather than two single chaotic samples.
+    head = float(np.mean(hist[:5]))
+    tail = float(np.mean(hist[-5:]))
+    assert tail < head - 0.5, hist
 
 
 def test_dryrun_multichip_cpu():
