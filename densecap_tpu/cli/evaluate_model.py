@@ -26,11 +26,14 @@ def main(argv=None):
     p.add_argument("--skip_losses", type=int, default=0)
     p.add_argument("--beam_size", type=int, default=0,
                    help="beam width for caption decoding (0 = greedy)")
+    p.add_argument("--roi_align", default="",
+                   choices=["", "auto", "gather", "mxu", "pallas"],
+                   help="RoI-align formulation: auto picks the MXU "
+                        "einsum on TPU at the standard 512ch/7x7 "
+                        "geometry (fastest measured), gather elsewhere")
     p.add_argument("--pallas_roi_align", type=int, default=-1,
-                   help="-1 auto (MXU einsum RoI align on TPU at the "
-                        "standard 512ch/7x7 geometry — fastest "
-                        "measured), 1 force the fused Pallas kernel, "
-                        "0 XLA gather")
+                   help="DEPRECATED alias of --roi_align: -1 auto, "
+                        "1 pallas, 0 gather")
     p.add_argument("--canvas_buckets", default="",
                    help="comma list of HxW inference canvases (e.g. "
                         "720x544,544x720) for the batched test pass; "
@@ -62,7 +65,8 @@ def main(argv=None):
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         max_gt_boxes=args.max_gt_boxes,
-        roi_align_impl=resolve_roi_impl(args.pallas_roi_align, cfg),
+        roi_align_impl=resolve_roi_impl(
+            args.roi_align or args.pallas_roi_align, cfg),
     )
     mesh = None
     if args.data_parallel > 1:

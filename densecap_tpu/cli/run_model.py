@@ -44,11 +44,14 @@ def build_argparser():
                         "vis/view_results.html browser can show them")
     p.add_argument("--max_images", type=int, default=100)
     p.add_argument("--beam_size", type=int, default=0)
+    p.add_argument("--roi_align", default="",
+                   choices=["", "auto", "gather", "mxu", "pallas"],
+                   help="RoI-align formulation: auto picks the MXU "
+                        "einsum on TPU at the standard 512ch/7x7 "
+                        "geometry (fastest measured), gather elsewhere")
     p.add_argument("--pallas_roi_align", type=int, default=-1,
-                   help="-1 auto (MXU einsum RoI align on TPU at the "
-                        "standard 512ch/7x7 geometry — fastest "
-                        "measured), 1 force the fused Pallas kernel, "
-                        "0 XLA gather")
+                   help="DEPRECATED alias of --roi_align: -1 auto, "
+                        "1 pallas, 0 gather")
     p.add_argument("--canvas_buckets", default="",
                    help="comma list of HxW inference canvases (e.g. "
                         "720x544,544x720); each image runs on the "
@@ -154,7 +157,8 @@ def main(argv=None):
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         test_max_proposals=args.num_proposals,
-        roi_align_impl=resolve_roi_impl(args.pallas_roi_align, cfg),
+        roi_align_impl=resolve_roi_impl(
+            args.roi_align or args.pallas_roi_align, cfg),
     )
     vocab_size = cfg.vocab_size
 
@@ -204,6 +208,8 @@ def main(argv=None):
         # one-chunk lookahead: the C++ thread pool decodes chunk i+1
         # while the device runs inference over chunk i
         chunks = [paths[i:i + CH] for i in range(0, len(paths), CH)]
+        if not chunks:  # empty --input_dir
+            return
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(decode, chunks[0])
             for ci, chunk in enumerate(chunks):

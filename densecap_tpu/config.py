@@ -98,10 +98,13 @@ class DenseCapConfig:
     # Run the NMS suppression sweep as one Pallas kernel (TPU only)
     use_pallas_nms: bool = False
 
-    # conv1_1 via 2x2 space-to-depth (EXACT same outputs; ~4x faster on
-    # the MXU because the C=3 input otherwise wastes the contraction
-    # lanes — see models/vgg16.py:conv1_1_s2d)
-    conv1_s2d: bool = True
+    # conv1_1 via 2x2 space-to-depth (EXACT same outputs). Off by
+    # default: measured on v5e, the s2d conv itself is ~1.7x faster than
+    # the plain C=3 conv (1.25 vs 2.14 ms/step at B=8 720px) but the
+    # input space-to-depth + 531 MB output depth-to-space shuffles cost
+    # more than the saving — conv1_1 is bandwidth-bound, not MXU-bound
+    # (scripts/conv1_variants.py sweep, doc/BENCH.md).
+    conv1_s2d: bool = False
 
     # numerics: conv/matmul compute dtype (params & accums stay f32)
     compute_dtype: Any = jnp.bfloat16

@@ -162,59 +162,81 @@ def get_target(gt_seq, vocab_size):
     return jnp.concatenate([jnp.zeros((P, 1), dtype=y.dtype), y], axis=1)
 
 
-def sample(params, image_vectors, cfg: LMConfig,
-           compute_dtype=jnp.float32):
-    """Greedy argmax decoding (LanguageModel.lua:293-348).
+def _greedy_decode(params, image_vectors, cfg: LMConfig, compute_dtype,
+                   with_logprobs):
+    """Greedy argmax decoding (LanguageModel.lua:293-348) with early exit.
 
-    image_vectors: (P, D). Returns (P, T) int32 tokens in [1, V+1]
-    (END may appear; callers cut at END when decoding to text).
+    Captions average 5-8 of the T=15 steps, so a fixed-length scan
+    wastes roughly half the decode FLOPs (measured 22% of the whole
+    inference program, doc/BENCH.md stage table); a while_loop stops as
+    soon as every row has emitted END.
+
+    Canonical output convention: a row's tokens AFTER its first END are
+    END (so unexecuted loop tail and still-running batchmates agree),
+    and its logprobs after END are 0 — the reference beam path's own
+    quirk (LanguageModel.lua:242-245). Tokens up to and including END
+    match the fixed-length scan exactly.
     """
     P = image_vectors.shape[0]
     V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
+    END = start_token(V)
 
     img_vec = _encode_image(params, image_vectors, compute_dtype)
     h0 = jnp.zeros((P, H), jnp.float32)
     c0 = jnp.zeros((P, H), jnp.float32)
     h, c = _lstm_step(params["lstm"], h0, c0, img_vec, compute_dtype)
+    tok0 = jnp.full((P,), END, dtype=jnp.int32)       # START == END
 
-    tok0 = jnp.full((P,), start_token(V), dtype=jnp.int32)
+    state = dict(
+        t=jnp.zeros((), jnp.int32),
+        h=h, c=c, tok=tok0,
+        seq=jnp.full((T, P), END, dtype=jnp.int32),
+        lps=jnp.zeros((T, P), jnp.float32),
+        done=jnp.zeros((P,), bool),
+    )
 
-    def step(carry, _):
-        h, c, tok = carry
-        x = _embed(params, tok)
-        h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
+    def cond(st):
+        return (st["t"] < T) & ~jnp.all(st["done"])
+
+    def body(st):
+        t, done = st["t"], st["done"]
+        x = _embed(params, st["tok"])
+        h2, c2 = _lstm_step(params["lstm"], st["h"], st["c"], x,
+                            compute_dtype)
         scores = _project(params, h2, compute_dtype)  # (P, V+1)
-        nxt = (jnp.argmax(scores, axis=-1) + 1).astype(jnp.int32)
-        return (h2, c2, nxt), nxt
+        nxt0 = jnp.argmax(scores, axis=-1)
+        nxt = jnp.where(done, END, (nxt0 + 1).astype(jnp.int32))
+        seq = lax.dynamic_update_index_in_dim(st["seq"], nxt, t, 0)
+        lps = st["lps"]
+        if with_logprobs:
+            logp = jax.nn.log_softmax(scores, axis=-1)
+            lp = jnp.take_along_axis(logp, nxt0[:, None], axis=-1)[:, 0]
+            lps = lax.dynamic_update_index_in_dim(
+                lps, jnp.where(done, 0.0, lp), t, 0)
+        return dict(t=t + 1, h=h2, c=c2, tok=nxt, seq=seq, lps=lps,
+                    done=done | (nxt == END))
 
-    _, seq = lax.scan(step, (h, c, tok0), None, length=T)
-    return jnp.swapaxes(seq, 0, 1)                    # (P, T)
+    st = lax.while_loop(cond, body, state)
+    seq = jnp.swapaxes(st["seq"], 0, 1)               # (P, T)
+    if with_logprobs:
+        return seq, jnp.swapaxes(st["lps"], 0, 1)
+    return seq
+
+
+def sample(params, image_vectors, cfg: LMConfig,
+           compute_dtype=jnp.float32):
+    """Greedy argmax decoding. image_vectors: (P, D). Returns (P, T)
+    int32 tokens in [1, V+1]; END repeats after a row's first END."""
+    return _greedy_decode(params, image_vectors, cfg, compute_dtype,
+                          with_logprobs=False)
 
 
 def sample_with_logprobs(params, image_vectors, cfg: LMConfig,
                          compute_dtype=jnp.float32):
-    """Greedy decode also returning per-step chosen log-probabilities."""
-    P = image_vectors.shape[0]
-    V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
-    img_vec = _encode_image(params, image_vectors, compute_dtype)
-    h0 = jnp.zeros((P, H), jnp.float32)
-    c0 = jnp.zeros((P, H), jnp.float32)
-    h, c = _lstm_step(params["lstm"], h0, c0, img_vec, compute_dtype)
-    tok0 = jnp.full((P,), start_token(V), dtype=jnp.int32)
-
-    def step(carry, _):
-        h, c, tok = carry
-        x = _embed(params, tok)
-        h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
-        scores = _project(params, h2, compute_dtype)
-        logp = jax.nn.log_softmax(scores, axis=-1)
-        nxt0 = jnp.argmax(scores, axis=-1)
-        lp = jnp.take_along_axis(logp, nxt0[:, None], axis=-1)[:, 0]
-        nxt = (nxt0 + 1).astype(jnp.int32)
-        return (h2, c2, nxt), (nxt, lp)
-
-    _, (seq, lps) = lax.scan(step, (h, c, tok0), None, length=T)
-    return jnp.swapaxes(seq, 0, 1), jnp.swapaxes(lps, 0, 1)
+    """Greedy decode also returning per-step chosen log-probabilities
+    (0 after a row's END, matching the beam path's convention)."""
+    return _greedy_decode(params, image_vectors, cfg, compute_dtype,
+                          with_logprobs=True)
 
 
 def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
@@ -233,56 +255,75 @@ def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
     V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
     B = beam_size
     END = start_token(V)
+    P = image_vectors.shape[0]
 
     img_vecs = _encode_image(params, image_vectors, compute_dtype)  # (P, W)
 
-    def one_image(img_vec):
-        h0 = jnp.zeros((1, H), jnp.float32)
-        c0 = jnp.zeros((1, H), jnp.float32)
-        h, c = _lstm_step(params["lstm"], h0, c0, img_vec[None],
-                          compute_dtype)
-        x = _embed(params, jnp.full((1,), END, dtype=jnp.int32))
-        h, c = _lstm_step(params["lstm"], h, c, x, compute_dtype)
-        logp = jax.nn.log_softmax(
-            _project(params, h, compute_dtype), axis=-1
-        )[0]  # (V+1,)
-        beam_lp, idx0 = lax.top_k(logp, B)
-        beams = jnp.ones((B, T), dtype=jnp.int32)
-        beams = beams.at[:, 0].set((idx0 + 1).astype(jnp.int32))
-        lp_hist = jnp.zeros((B, T), jnp.float32).at[:, 0].set(beam_lp)
-        hB = jnp.broadcast_to(h, (B, H))
-        cB = jnp.broadcast_to(c, (B, H))
+    # Beams folded into the batch dim: LSTM steps and vocab projections
+    # run on (P*B, .) matrices inside ONE scan — round 2's
+    # vmap(per-image scan) structure compiled for ~8 minutes at flagship
+    # geometry and ran 0.44 s/image; this is the same math (identical
+    # flattened-candidate tie-breaking) in a single batched program.
+    h0 = jnp.zeros((P, H), jnp.float32)
+    c0 = jnp.zeros((P, H), jnp.float32)
+    h, c = _lstm_step(params["lstm"], h0, c0, img_vecs, compute_dtype)
+    x = _embed(params, jnp.full((P,), END, dtype=jnp.int32))
+    h, c = _lstm_step(params["lstm"], h, c, x, compute_dtype)
+    logp0 = jax.nn.log_softmax(
+        _project(params, h, compute_dtype), axis=-1)     # (P, V+1)
+    beam_lp, idx0 = lax.top_k(logp0, B)                  # (P, B)
+    beams = jnp.ones((P, B, T), dtype=jnp.int32)
+    beams = beams.at[:, :, 0].set((idx0 + 1).astype(jnp.int32))
+    lp_hist = jnp.zeros((P, B, T), jnp.float32).at[:, :, 0].set(beam_lp)
+    hB = jnp.broadcast_to(h[:, None], (P, B, H)).reshape(P * B, H)
+    cB = jnp.broadcast_to(c[:, None], (P, B, H)).reshape(P * B, H)
 
-        def step(carry, t):
-            beams, beam_lp, lp_hist, h, c = carry
-            words = beams[jnp.arange(B), t - 1]
-            x = _embed(params, words)
-            h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
-            logp = jax.nn.log_softmax(
-                _project(params, h2, compute_dtype), axis=-1
-            )  # (B, V+1)
-            unfinished = ~jnp.any(beams == END, axis=1)
-            logp = logp * unfinished[:, None].astype(logp.dtype)
-            top_lp, top_words = lax.top_k(logp, B)          # (B, B)
-            cand = beam_lp[:, None] + top_lp                 # (B, B)
-            new_lp, flat_idx = lax.top_k(cand.reshape(-1), B)
-            src_beam = flat_idx // B
-            word0 = top_words.reshape(-1)[flat_idx]
-            new_beams = beams[src_beam].at[:, t].set(
-                (word0 + 1).astype(jnp.int32)
-            )
-            step_lp = new_lp - beam_lp[src_beam]  # chosen word's logprob
-            new_hist = lp_hist[src_beam].at[:, t].set(step_lp)
-            return (new_beams, new_lp, new_hist,
-                    h2[src_beam], c2[src_beam]), None
+    def step(carry, t):
+        beams, beam_lp, lp_hist, h, c = carry
+        words = lax.dynamic_index_in_dim(
+            beams, t - 1, axis=2, keepdims=False)        # (P, B)
+        x = _embed(params, words.reshape(P * B))
+        h2, c2 = _lstm_step(params["lstm"], h, c, x, compute_dtype)
+        scores = _project(params, h2, compute_dtype)     # (P*B, V+1) f32
+        # Per-beam top-k on the RAW logits, 2D: log_softmax is a
+        # per-row monotone shift so the indices/order are identical,
+        # and the (P, B, V+1) top_k lowers ~6x slower on TPU than the
+        # flat (P*B, V+1) form (30.4 vs 5.4 ms at flagship geometry);
+        # the shift is applied to just the k survivors via logsumexp.
+        top_raw, top_words = lax.top_k(scores, B)        # (P*B, B)
+        lse = jax.scipy.special.logsumexp(scores, axis=-1)
+        top_lp = (top_raw - lse[:, None]).reshape(P, B, B)
+        top_words = top_words.reshape(P, B, B)
+        # reference quirk: finished beams contribute 0, not -inf, for
+        # EVERY word (LanguageModel.lua:242-245) — and a stable top-k
+        # of an all-equal row picks words 0..B-1 in order
+        unfinished = ~jnp.any(beams == END, axis=2)      # (P, B)
+        alive = unfinished[:, :, None]
+        top_lp = jnp.where(alive, top_lp, 0.0)
+        top_words = jnp.where(alive, top_words,
+                              jnp.arange(B, dtype=top_words.dtype))
+        cand = beam_lp[:, :, None] + top_lp              # (P, B, B)
+        new_lp, flat_idx = lax.top_k(cand.reshape(P, B * B), B)
+        src_beam = flat_idx // B                         # (P, B)
+        word0 = jnp.take_along_axis(
+            top_words.reshape(P, B * B), flat_idx, axis=1)
+        new_beams = jnp.take_along_axis(
+            beams, src_beam[:, :, None], axis=1
+        ).at[:, :, t].set((word0 + 1).astype(jnp.int32))
+        step_lp = new_lp - jnp.take_along_axis(beam_lp, src_beam, axis=1)
+        new_hist = jnp.take_along_axis(
+            lp_hist, src_beam[:, :, None], axis=1
+        ).at[:, :, t].set(step_lp)
+        gather = (src_beam + B * jnp.arange(P)[:, None]).reshape(-1)
+        return (new_beams, new_lp, new_hist,
+                h2[gather], c2[gather]), None
 
-        (beams, beam_lp, lp_hist, _, _), _ = lax.scan(
-            step, (beams, beam_lp, lp_hist, hB, cB), jnp.arange(1, T)
-        )
-        best = jnp.argmax(beam_lp)
-        return beams[best], lp_hist[best]
-
-    seq, lps = jax.vmap(one_image)(img_vecs)
+    (beams, beam_lp, lp_hist, _, _), _ = lax.scan(
+        step, (beams, beam_lp, lp_hist, hB, cB), jnp.arange(1, T)
+    )
+    best = jnp.argmax(beam_lp, axis=1)                   # (P,)
+    seq = jnp.take_along_axis(beams, best[:, None, None], axis=1)[:, 0]
+    lps = jnp.take_along_axis(lp_hist, best[:, None, None], axis=1)[:, 0]
     if return_logprobs:
         return seq, lps
     return seq

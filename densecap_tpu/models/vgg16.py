@@ -124,13 +124,18 @@ def _s2d_block_kernel(w):
 
 
 def conv1_1_s2d(x, p, compute_dtype):
-    """conv1_1 via 2x2 space-to-depth: EXACT same outputs, ~4x faster.
+    """conv1_1 via 2x2 space-to-depth: EXACT same outputs.
 
     The C=3 input of conv1_1 leaves the MXU's 128-wide contraction dim
     ~3/4 empty (measured ~3% MFU, 2.8 ms/step at B=8 — doc/BENCH.md
     trunk table). Space-to-depth re-lays the conv as (H/2, W/2, 12) x
     (3, 3, 12, 256): 4x the nominal FLOPs (the block kernel is 3/4
-    zeros) but a 108-deep contraction, netting a large wall-clock win.
+    zeros) but a 12-deep contraction. Measured on v5e the conv itself
+    wins (1.25 vs 2.14 ms/step at B=8 720px) but the input s2d + 531 MB
+    output depth-to-space shuffles cost ~4.7 ms — conv1_1 is
+    bandwidth-bound, so this is OFF by default (cfg.conv1_s2d;
+    scripts/conv1_variants.py has the full remedy sweep: pad-to-8
+    channels and lhs-dilated fused depth-to-space also lose to plain).
     Zero weights are exact, so outputs are bit-identical up to XLA's
     data-independent summation order — canvas==cropped exactness is
     preserved because crops are block-aligned at (0, 0).

@@ -12,10 +12,14 @@ weights); parity-tested in interpret mode on CPU and used on the TPU
 serving path. Forward-only: training uses the autodiff-able jnp version
 (its backward is an XLA scatter-add, already the right tool).
 
-VMEM budget (worst case, 720px canvas, bf16 TB=16): feats 45x45x512
-bf16 = 2.1 MB, rows buffer 112 x 23040 bf16 = 5.2 MB, out tile f32
-1.6 MB — comfortably under the ~16 MB/core budget. (f32 mode runs
-TB=8: an f32 rows buffer at TB=16 alone would be 10.3 MB.)
+VMEM budget (worst case, 720px canvas, bf16 TB=16, spatial dims
+padded 45->48 for the bf16 tiling): feats 48x48x512 bf16 = 2.4 MB;
+the `rows` intermediate is F32 regardless of compute_dtype (the MXU
+accumulator must be f32 — Mosaic rejects a bf16 acc), so it is
+112 x (48*512) x 4B = 11.0 MB; out tile f32 1.6 MB — total ~15 MB,
+TIGHT against the ~16 MB/core budget. Any geometry growth (bigger
+canvas, TB, or out_h) must re-check this first. (f32 mode runs TB=8
+to halve the rows buffer.)
 """
 
 from __future__ import annotations

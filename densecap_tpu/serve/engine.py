@@ -74,15 +74,18 @@ class InferenceEngine:
     mode (~100 img/s/chip at batch 8). batch_size == 1 keeps the lowest
     latency and the smallest compile.
 
-    NOTE: temporal smoothing assumes a single video stream; with
-    micro-batching over multiple clients, disable it (smoothing=False)
-    or run one engine per stream.
+    Temporal smoothing is kept PER STREAM: each client passes a stream
+    id (web client generates one per page load) and gets its own
+    TemporalSmoother, so box identities stay stable per video stream
+    even when micro-batching interleaves many clients — the multi-client
+    generalization of single_machine_demo.lua:137-171's one live
+    stream. Idle streams are LRU-evicted past max_streams.
     """
 
     def __init__(self, params, cfg: DenseCapConfig, idx_to_token,
                  max_boxes=50, smoothing=True, batch_size=1,
                  batch_window_ms=5.0, request_timeout_s=60.0,
-                 mesh=None):
+                 mesh=None, max_streams=64):
         if mesh is not None and batch_size > 1:
             # multi-chip serving: params replicated, each micro-batch
             # sharded over the 'data' axis — XLA splits one serving
@@ -101,7 +104,11 @@ class InferenceEngine:
         self.cfg = cfg
         self.idx_to_token = idx_to_token
         self.max_boxes = max_boxes
-        self.smoother = TemporalSmoother() if smoothing else None
+        self.smoothing = bool(smoothing)
+        self.max_streams = int(max_streams)
+        # stream id -> TemporalSmoother, insertion order == LRU order
+        self._smoothers: "dict[str, TemporalSmoother]" = {}
+        self._smoother_lock = threading.Lock()
         self.lock = threading.Lock()
         self.batch_size = int(batch_size)
         self.batch_window = batch_window_ms / 1000.0
@@ -132,7 +139,8 @@ class InferenceEngine:
         saved = self.request_timeout
         self.request_timeout = max(saved, 1800.0)
         try:
-            self.process_array(np.zeros((S, S, 3), np.uint8))
+            self.process_array(np.zeros((S, S, 3), np.uint8),
+                               stream_id="__warmup__")
         finally:
             self.request_timeout = saved
 
@@ -213,11 +221,31 @@ class InferenceEngine:
             return (np.asarray(out.boxes), np.asarray(out.scores),
                     np.asarray(out.captions), np.asarray(out.valid))
 
-    def process_array(self, rgb):
+    def _assign_ids(self, boxes, stream_id):
+        """Per-stream smoothing: fetch (or create) the stream's
+        TemporalSmoother, LRU-evicting the longest-idle stream past
+        max_streams. Serialized on one lock — the greedy IoU match on
+        <= max_boxes boxes is microseconds of numpy, far below the
+        device step it rides on."""
+        if not self.smoothing:
+            return np.arange(len(boxes))
+        key = "" if stream_id is None else str(stream_id)
+        with self._smoother_lock:
+            sm = self._smoothers.pop(key, None)
+            if sm is None:
+                sm = TemporalSmoother()
+                while len(self._smoothers) >= self.max_streams:
+                    self._smoothers.pop(next(iter(self._smoothers)))
+            self._smoothers[key] = sm  # re-insert: most recently used
+            return sm.assign_ids(boxes)
+
+    def process_array(self, rgb, stream_id=None):
         """(H, W, 3) uint8 RGB -> dict of boxes/scores/captions.
 
         Boxes are returned in the ORIGINAL image's xywh coordinates
-        (daemon.lua:78-90 rescales the same way).
+        (daemon.lua:78-90 rescales the same way). stream_id keys the
+        temporal smoother so concurrent clients each track their own
+        box identities; omitted -> the single shared default stream.
         """
         canvas, h, w, scale = preprocess_for_model(
             rgb, self.cfg.image_size
@@ -230,8 +258,7 @@ class InferenceEngine:
             self.idx_to_token, self.cfg.vocab_size,
         )
 
-        ids = (self.smoother.assign_ids(boxes)
-               if self.smoother else np.arange(len(boxes)))
+        ids = self._assign_ids(boxes, stream_id)
 
         # canvas xcycwh -> original-image xywh
         xywh = np.zeros_like(boxes)

@@ -61,11 +61,15 @@ def make_handler(engine):
                 return
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
+            # per-client smoothing stream: JSON "stream" field, or the
+            # X-Stream-Id header for raw-JPEG posts
+            stream_id = self.headers.get("X-Stream-Id")
             try:
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("application/json"):
                     payload = json.loads(body)
                     img_b64 = payload["image"]
+                    stream_id = payload.get("stream", stream_id)
                     # data-URL prefix tolerated (web-client sends one)
                     if "," in img_b64[:64]:
                         img_b64 = img_b64.split(",", 1)[1]
@@ -91,7 +95,7 @@ def make_handler(engine):
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return
             try:
-                result = engine.process_array(rgb)
+                result = engine.process_array(rgb, stream_id=stream_id)
                 self._send(200, json.dumps(result).encode())
             except TimeoutError as e:
                 self._send(504, json.dumps({"error": str(e)}).encode())

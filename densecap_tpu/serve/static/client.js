@@ -43,6 +43,10 @@
     requestAnimationFrame(draw);
   }
 
+  // per-page-load smoothing stream: the server keys its temporal
+  // smoother on this, so several open clients track ids independently
+  var streamId = 'web-' + Math.random().toString(36).slice(2, 10);
+
   function pump() {
     gctx.drawImage(video, 0, 0, grab.width, grab.height);
     var dataURL = grab.toDataURL('image/jpeg', 0.7);
@@ -50,7 +54,7 @@
     fetch('/api/infer', {
       method: 'POST',
       headers: { 'Content-Type': 'application/json' },
-      body: JSON.stringify({ image: dataURL })
+      body: JSON.stringify({ image: dataURL, stream: streamId })
     }).then(function (r) { return r.json(); })
       .then(function (res) {
         if (!res.error) {

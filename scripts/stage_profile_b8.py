@@ -145,6 +145,25 @@ def main():
                lp, c + s, lmc, compute_dtype=cfg.compute_dtype),
            params["lm"], flat_codes)
 
+    # Random weights essentially never emit END, so the rows above are
+    # the worst case (all T=15 steps execute). Real captions average
+    # 5-8 tokens; bias the END logit to reproduce that regime and show the
+    # while_loop early exit (models/lstm.py:_greedy_decode).
+    END = lmc.vocab_size + 1
+    for bias in (0.5, 1.0, 2.0):
+        lmb = {**params["lm"],
+               "proj": {**params["lm"]["proj"],
+                        "b": params["lm"]["proj"]["b"]
+                        .at[END - 1].add(bias)}}
+        toks = lstm.sample(lmb, flat_codes, lmc,
+                           compute_dtype=cfg.compute_dtype)
+        first_end = jnp.argmax(toks == END, axis=1)
+        mean_len = float(jnp.mean(first_end + 1))
+        timeit(f"greedy decode, mean len {mean_len:.1f}",
+               lambda lp, c, s: lstm.sample_with_logprobs(
+                   lp, c + s, lmc, compute_dtype=cfg.compute_dtype)[0],
+               lmb, flat_codes)
+
     def ship_outputs(p, im, s):
         out = densecap.forward_test_batch(p, im + s, hs, ws, cfg)
         return (out.boxes, out.scores, out.captions, out.num)

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from densecap_tpu.models.vgg16 import (TRUNK1_CFG, TRUNK2_CFG,
-                                       conv2d_same, init_trunk,
-                                       max_pool_2x2)
+                                       conv1_1_s2d, conv2d_same,
+                                       init_trunk, max_pool_2x2)
 
 B = 8
 S = 720
@@ -77,6 +77,16 @@ def main():
             continue
         name, cout = item
         p = jax.device_put(params[name])
+        if name == "conv1_1":
+            # the exact s2d alternative (cfg.conv1_s2d, off by default)
+            p32 = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), p)
+            dt_s2d = timeit(
+                lambda xx, pp, s: conv1_1_s2d(
+                    xx + s.astype(xx.dtype), pp, jnp.bfloat16),
+                x, p32)
+            print(f"conv1_1[s2d] {h}x{w}x{cin*4}->{cout}"
+                  f" {dt_s2d*1000:7.2f} ms/step", flush=True)
         dt = timeit(
             lambda xx, pp, s: conv2d_same(xx + s.astype(xx.dtype), pp,
                                           jnp.bfloat16),

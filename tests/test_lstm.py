@@ -95,6 +95,48 @@ def test_sample_deterministic_and_batch_consistent():
     np.testing.assert_array_equal(one[0], a[2])
 
 
+def test_sample_early_exit_canonical_past_end():
+    """Greedy decode while_loop early exit: tokens after a row's first
+    END are END, logprobs after END are 0, and tokens up to END match a
+    plain fixed-length scan of the same step function."""
+    cfg = _cfg(V=12, T=8, W=16, H=16, D=24)
+    params = lstm.init_lm(jax.random.PRNGKey(9), cfg)
+    # bias END upward so rows finish at different early steps
+    END = lstm.start_token(cfg.vocab_size)
+    params["proj"]["b"] = params["proj"]["b"].at[END - 1].add(2.0)
+    vecs = jax.random.normal(jax.random.PRNGKey(10), (9, 24)) * 2.0
+
+    seq, lps = lstm.sample_with_logprobs(params, vecs, cfg)
+    seq, lps = np.asarray(seq), np.asarray(lps)
+    assert (seq >= 1).all() and (seq <= cfg.vocab_size + 1).all()
+
+    # reference: fixed-length scan, argmax continuation past END
+    img = jax.nn.relu(vecs @ params["img_enc"]["w"]
+                      + params["img_enc"]["b"])
+    h = jnp.zeros((9, cfg.rnn_size))
+    c = jnp.zeros((9, cfg.rnn_size))
+    h, c = lstm._lstm_step(params["lstm"], h, c, img, jnp.float32)
+    tok = jnp.full((9,), END, jnp.int32)
+    ref = np.zeros((9, cfg.seq_length), np.int64)
+    for t in range(cfg.seq_length):
+        x = lstm._embed(params, tok)
+        h, c = lstm._lstm_step(params["lstm"], h, c, x, jnp.float32)
+        s = lstm._project(params, h, jnp.float32)
+        tok = (jnp.argmax(s, -1) + 1).astype(jnp.int32)
+        ref[:, t] = np.asarray(tok)
+
+    hit_end = False
+    for i in range(9):
+        ends = np.nonzero(ref[i] == END)[0]
+        cut = ends[0] + 1 if len(ends) else cfg.seq_length
+        np.testing.assert_array_equal(seq[i, :cut], ref[i, :cut])
+        np.testing.assert_array_equal(seq[i, cut:], END)
+        np.testing.assert_array_equal(lps[i, cut:], 0.0)
+        assert (lps[i, :cut] < 0.0).all()
+        hit_end = hit_end or len(ends) > 0
+    assert hit_end, "fixture never emitted END; test is vacuous"
+
+
 def test_beamsearch_runs_and_beats_greedy():
     cfg = _cfg(V=20, T=6, W=32, H=32, D=48)
     params = lstm.init_lm(jax.random.PRNGKey(5), cfg)

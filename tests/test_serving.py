@@ -71,6 +71,41 @@ def test_temporal_smoother_identity():
     assert ids3[2] == 2
 
 
+def test_per_stream_smoothing(engine):
+    """Two interleaved streams keep independent, stable box ids
+    (multi-client generalization of single_machine_demo.lua:137-171)."""
+    bA = np.array([[20.0, 20.0, 10.0, 10.0], [50.0, 50.0, 8.0, 8.0]])
+    bB = np.array([[40.0, 10.0, 6.0, 6.0]])
+
+    idsA1 = engine._assign_ids(bA, "streamA")
+    idsB1 = engine._assign_ids(bB, "streamB")
+    # each stream starts its own id space
+    assert sorted(idsA1.tolist()) == [0, 1]
+    assert idsB1.tolist() == [0]
+    # interleaved second frames: ids persist per stream, no cross-talk
+    idsA2 = engine._assign_ids(bA + 1.0, "streamA")
+    idsB2 = engine._assign_ids(bB + 0.5, "streamB")
+    np.testing.assert_array_equal(idsA1, idsA2)
+    np.testing.assert_array_equal(idsB1, idsB2)
+    # a shared-smoother regression would have advanced B's next_id past
+    # 1 (A allocated ids first) or matched A's boxes against B's frame
+
+
+def test_stream_lru_eviction():
+    params = densecap.init_params(jax.random.PRNGKey(0), TINY)
+    eng = InferenceEngine(params, TINY, IDX_TO_TOKEN, max_boxes=5,
+                          max_streams=2)
+    b = np.array([[20.0, 20.0, 10.0, 10.0]])
+    eng._assign_ids(b, "a")
+    eng._assign_ids(b + 0.5, "a")  # a's smoother advanced: next id is 1
+    eng._assign_ids(b, "b")
+    eng._assign_ids(b, "c")  # evicts a (LRU)
+    assert set(eng._smoothers) == {"b", "c"}
+    # a comes back with FRESH state (ids restart at 0), b was kept warm
+    assert eng._assign_ids(b + 1.0, "a").tolist() == [0]
+    assert eng._assign_ids(b + 0.5, "b").tolist() == [0]
+
+
 def test_http_server_roundtrip(engine):
     from http.server import ThreadingHTTPServer
 
