@@ -193,28 +193,17 @@ def main(argv=None):
         )
     # mesh-aware init: params are TP-padded + sharded BEFORE the adam
     # state is created so m/v match (vocab padding, mesh.pad_params_for_tp).
-    # NOTE: resume restores into the padded/sharded template — resuming
-    # requires the same --model_parallel the checkpoint was written with
-    # (doc/PARALLELISM.md).
     state, tx = ts.init_state(
         key, cfg, learning_rate=lr, mesh=mesh,
         beta1=args.optim_beta1, beta2=args.optim_beta2,
         eps=args.optim_epsilon,
     )
     if args.checkpoint_start_from:
-        template = state
-        state = ckpt.load_train_state(args.checkpoint_start_from, state)
-
-        def _put_like(x, tmpl):
-            if isinstance(tmpl, jax.Array):
-                return jax.device_put(x, tmpl.sharding)
-            return x
-
-        state = state._replace(
-            params=meshlib.shard_params(state.params, mesh),
-            opt_state=jax.tree_util.tree_map(
-                _put_like, state.opt_state, template.opt_state),
-        )
+        # Checkpoints are saved with the TP vocab padding STRIPPED, so
+        # any --model_parallel can resume any checkpoint (the helper
+        # re-pads for this run's mesh).
+        state = ts.resume_train_state(
+            args.checkpoint_start_from, state, cfg, mesh)
         print(f"resumed from {args.checkpoint_start_from} "
               f"at step {int(state.step)}")
 
@@ -226,15 +215,6 @@ def main(argv=None):
     if not bool(state.finetune_cnn):
         cfg = cfg.replace(static_freeze_cnn=True)
 
-    if args.canvas_buckets and nproc > 1:
-        # each process's shard has a different aspect-ratio mix, so
-        # processes would pick DIFFERENT buckets at the same step —
-        # divergent global shapes and programs, mismatched collectives,
-        # a hang. Bucket choice would need a cross-host agreement
-        # protocol; reject the combination instead.
-        raise SystemExit(
-            "--canvas_buckets is single-host only (per-process bucket "
-            "choices diverge and deadlock the collectives)")
     if args.canvas_buckets:
         from ..data.loader import BucketedLoader
 
@@ -242,8 +222,20 @@ def main(argv=None):
             tuple(int(v) for v in b.split("x"))
             for b in args.canvas_buckets.split(",") if b
         ]
-        bucketed = BucketedLoader(train_loader, buckets,
-                                  local_batch_size, split=0)
+        if nproc > 1:
+            # Multi-host bucketing: every process runs the IDENTICAL
+            # deterministic bucket schedule over the UNSHARDED split —
+            # the schedule is a pure function of heights/widths, which
+            # live in RAM on every host — then materializes only its
+            # own contiguous slice of each global batch. All hosts
+            # agree on every step's bucket shape with zero
+            # communication (data/loader.py:BucketedLoader).
+            bucketed = BucketedLoader(
+                loader, buckets, args.batch_size, split=0,
+                shard=(jax.process_index(), nproc))
+        else:
+            bucketed = BucketedLoader(train_loader, buckets,
+                                      local_batch_size, split=0)
         # bucketing composes with prefetch now (round-1 had them
         # exclusive); the prefetch thread pulls (bucket, batch) tuples
         # and forwards the batch
@@ -361,13 +353,20 @@ def main(argv=None):
 
                 if map_score > best_val_score:
                     best_val_score = map_score
+                    # checkpoints are saved UNPADDED (TP vocab padding
+                    # stripped from params and adam m/v) so a resume
+                    # may pick any --model_parallel — the load path
+                    # re-pads for its own mesh (parallel/mesh.py:
+                    # repad_vocab)
+                    save_state = meshlib.repad_vocab(
+                        host_state, cfg.vocab_size + 1)
                     ckpt.save_params(
-                        args.checkpoint_path + ".npz", host_state.params,
+                        args.checkpoint_path + ".npz", save_state.params,
                         extra={"meta": meta},
                     )
                     ckpt.save_train_state(
                         os.path.dirname(args.checkpoint_path) or ".",
-                        host_state,
+                        save_state,
                     )
                     print(f"saved checkpoint to "
                           f"{args.checkpoint_path}.npz")

@@ -112,6 +112,14 @@ class DenseCapLoader:
         img[:, w:, :] = 0.0
         return img
 
+    def example_meta(self, split, ri):
+        """(height, width) on the canvas at position ri of a split —
+        metadata only, no image IO. The bucket schedule runs on this so
+        every multi-host process can compute the identical global
+        schedule without touching pixels (BucketedLoader)."""
+        ix = int(self.split_ix[split][ri])
+        return int(self.image_heights[ix]), int(self.image_widths[ix])
+
     def get_example(self, split=0, iterate=True):
         """One padded example dict (host numpy)."""
         ix_list = self.split_ix[split]
@@ -121,6 +129,12 @@ class DenseCapLoader:
             self.iterators[split] = (ri + 1) % len(ix_list)
         else:
             ri = self.rng.randint(len(ix_list))
+        return self.get_example_at(split, ri)
+
+    def get_example_at(self, split, ri):
+        """The example at a SPECIFIC split position, without touching
+        the split iterator (bucket-schedule materialization)."""
+        ix_list = self.split_ix[split]
         ix = int(ix_list[ri])
 
         img = self._load_image(ix)
@@ -199,10 +213,23 @@ class BucketedLoader:
     repeating examples with per-example weight 0, so every example in a
     finite split is trained EXACTLY once per epoch (batches carry a
     'weight' vector the train step uses for the loss mean).
+
+    Multi-host: the SCHEDULE (which example lands in which
+    bucket/batch/slot) is computed from metadata only
+    (loader.example_meta — heights/widths live in RAM on every host),
+    so with shard=(process_id, num_processes) every process runs the
+    identical deterministic state machine over the same UNSHARDED
+    split and materializes only its own contiguous slice of each
+    global batch. All hosts therefore agree on every step's bucket
+    shape with ZERO communication — the cross-host agreement protocol
+    is "replay the same pure function of shared data".
     """
 
     def __init__(self, loader: DenseCapLoader, buckets, batch_size,
-                 split=0, iterate=True):
+                 split=0, iterate=True, shard=None, seed=0):
+        """batch_size is the GLOBAL batch when shard is given (the
+        loader must then be unsharded); this process materializes
+        batch_size // num_processes examples per batch."""
         S = loader.canvas
         self.loader = loader
         # always include the full square as the fallback bucket
@@ -212,7 +239,16 @@ class BucketedLoader:
         self.batch_size = batch_size
         self.split = split
         self.iterate = iterate
-        self.pending = {b: [] for b in self.buckets}
+        self.shard = shard
+        if shard is not None:
+            pid, nproc = shard
+            assert 0 <= pid < nproc and batch_size % nproc == 0, \
+                (shard, batch_size)
+        # iterate=False sampling uses an OWN seeded rng (not the
+        # loader's) so shard replicas draw the same sequence
+        self.rng = np.random.RandomState(seed)
+        self.pos = 0
+        self.pending = {b: [] for b in self.buckets}  # split positions
         self._flush_queue = []
 
     def _bucket_for(self, h, w):
@@ -221,24 +257,15 @@ class BucketedLoader:
                 return (bh, bw)
         return self.buckets[-1]
 
-    def _make_batch(self, exs, bucket):
-        bh, bw = bucket
-        n_real = len(exs)
+    def _padded(self, ris):
+        """Repeat-pad a partial batch; weight 0 marks the repeats."""
+        n_real = len(ris)
         weight = np.ones(self.batch_size, np.float32)
-        while len(exs) < self.batch_size:  # pad partials with repeats
-            weight[len(exs)] = 0.0
-            exs = exs + [exs[len(exs) % n_real]]
-        batch = {
-            "image": np.stack([e["image"][:bh, :bw] for e in exs]),
-            "height": np.stack([e["height"] for e in exs]),
-            "width": np.stack([e["width"] for e in exs]),
-            "gt_boxes": np.stack([e["gt_boxes"] for e in exs]),
-            "gt_labels": np.stack([e["gt_labels"] for e in exs]),
-            "gt_valid": np.stack([e["gt_valid"] for e in exs]),
-            "weight": weight,
-            "ix": [e["ix"] for e in exs[:n_real]],
-        }
-        return bucket, batch
+        out = list(ris)
+        while len(out) < self.batch_size:
+            weight[len(out)] = 0.0
+            out.append(out[len(out) % n_real])
+        return out, weight
 
     def _flush_pending(self):
         """Epoch boundary: drain every bucket through the full square."""
@@ -248,35 +275,67 @@ class BucketedLoader:
             self.pending[b] = []
         full = self.buckets[-1]
         while leftovers:
-            exs, leftovers = (leftovers[:self.batch_size],
+            ris, leftovers = (leftovers[:self.batch_size],
                               leftovers[self.batch_size:])
-            self._flush_queue.append(self._make_batch(exs, full))
+            ris, weight = self._padded(ris)
+            self._flush_queue.append((full, ris, weight))
 
-    def next_batch(self):
-        """Returns (bucket_shape, batch dict) with images cropped to the
-        bucket canvas. Batches include 'weight' (0 for repeat padding)
-        and 'ix' (the real examples' dataset indices)."""
+    def _schedule_next(self):
+        """Next (bucket, split positions, weights) — metadata only."""
         while True:
             if self._flush_queue:
                 return self._flush_queue.pop(0)
-            ex = self.loader.get_example(self.split, self.iterate)
-            b = self._bucket_for(int(ex["height"]), int(ex["width"]))
-            self.pending[b].append(ex)
+            n = self.loader.split_size(self.split)
+            assert n, "split is empty"
+            if self.iterate:
+                ri = self.pos
+                self.pos = (self.pos + 1) % n
+            else:
+                ri = int(self.rng.randint(n))
+            h, w = self.loader.example_meta(self.split, ri)
+            b = self._bucket_for(h, w)
+            self.pending[b].append(ri)
             full_bucket = None
             if len(self.pending[b]) == self.batch_size:
-                exs = self.pending[b]
-                self.pending[b] = []
-                full_bucket = self._make_batch(exs, b)
+                ris, self.pending[b] = self.pending[b], []
+                full_bucket = (b, ris,
+                               np.ones(self.batch_size, np.float32))
             # epoch wrap next call -> queue the tail flush AFTER any
             # just-completed batch
-            if self.iterate and ex["split_pos"][0] == \
-                    ex["split_pos"][1] - 1:
+            if self.iterate and ri == n - 1:
                 if full_bucket is not None:
                     self._flush_queue.append(full_bucket)
                     full_bucket = None
                 self._flush_pending()
             if full_bucket is not None:
                 return full_bucket
+
+    def next_batch(self):
+        """Returns (bucket_shape, batch dict) with images cropped to the
+        bucket canvas. Batches include 'weight' (0 for repeat padding)
+        and 'ix' (the real examples' dataset indices). Under shard the
+        batch holds only this process's slice of the global batch."""
+        bucket, ris, weight = self._schedule_next()
+        bh, bw = bucket
+        if self.shard is not None:
+            pid, nproc = self.shard
+            lb = self.batch_size // nproc
+            sel = slice(pid * lb, (pid + 1) * lb)
+        else:
+            sel = slice(0, self.batch_size)
+        local, wloc = ris[sel], weight[sel]
+        exs = [self.loader.get_example_at(self.split, ri) for ri in local]
+        batch = {
+            "image": np.stack([e["image"][:bh, :bw] for e in exs]),
+            "height": np.stack([e["height"] for e in exs]),
+            "width": np.stack([e["width"] for e in exs]),
+            "gt_boxes": np.stack([e["gt_boxes"] for e in exs]),
+            "gt_labels": np.stack([e["gt_labels"] for e in exs]),
+            "gt_valid": np.stack([e["gt_valid"] for e in exs]),
+            "weight": wloc,
+            "ix": [e["ix"] for e, wv in zip(exs, wloc) if wv > 0],
+        }
+        return bucket, batch
 
 
 class PrefetchingLoader:

@@ -22,7 +22,7 @@ _libs = {}
 # expected ABI of each library (dc<name>_abi_version in the .cpp); a
 # stale .so built before a signature change must never be called with
 # the new argument list — it would misread pointers as ints
-_ABI = {"dcio": 2, "dcgeom": 1}
+_ABI = {"dcio": 3, "dcgeom": 1}
 
 
 def _abi_ok(lib, name):
@@ -186,6 +186,23 @@ def load_batch(paths, canvas_size, mean_bgr, num_threads=8):
         int(num_threads),
     )
     return canv, hts, wds, ohts, owds, ok
+
+
+def resize_rgb(rgb, dh, dw):
+    """(H, W, 3) uint8 -> (dh, dw, 3) uint8, bit-identical to
+    PIL.Image.resize((dw, dh), Image.BILINEAR) (native/dcio.cpp
+    resample; parity test in tests/test_native.py)."""
+    lib = _load("dcio")
+    if lib is None:
+        raise RuntimeError("libdcio.so unavailable")
+    src = np.ascontiguousarray(rgb, np.uint8)
+    sh, sw = src.shape[:2]
+    dst = np.empty((int(dh), int(dw), 3), np.uint8)
+    lib.dcio_resize(
+        src.ctypes.data_as(ctypes.c_void_p), int(sh), int(sw),
+        dst.ctypes.data_as(ctypes.c_void_p), int(dh), int(dw),
+    )
+    return dst
 
 
 def decode_jpeg(path):

@@ -101,6 +101,42 @@ def pad_params_for_tp(params, model_size: int):
     return jax.tree_util.tree_map_with_path(prep, params, specs)
 
 
+def repad_vocab(tree, v1_target: int):
+    """Slice or zero-pad the LM vocab projection's vocab dim to
+    v1_target everywhere it appears in a pytree.
+
+    Works on params AND on optimizer state (adam m/v mirror the param
+    dict structure, so their lm/proj/w|b leaves carry the same dict
+    path); everything else passes through untouched. Padded columns are
+    zeros — exactly right for adam moments too, because the -inf logit
+    mask (models/lstm.py:_project) gives padded columns zero softmax
+    probability and therefore zero gradient.
+
+    This is how checkpoints stay MESH-PORTABLE: save paths strip to the
+    true V+1 (v1_target = cfg.vocab_size + 1), load paths re-pad to the
+    multiple of whatever --model_parallel the resuming run uses.
+    """
+
+    def fix(path, x):
+        keys = [getattr(p, "key", None) for p in path]
+        if ("lm" in keys and "proj" in keys and keys[-1] in ("w", "b")
+                and getattr(x, "ndim", 0) >= 1):
+            cur = x.shape[-1]
+            if cur > v1_target:
+                return x[..., :v1_target]
+            if cur < v1_target:
+                pad = [(0, 0)] * (x.ndim - 1) + [(0, v1_target - cur)]
+                return jnp.pad(x, pad)
+        return x
+
+    return jax.tree_util.tree_map_with_path(fix, tree)
+
+
+def padded_vocab_size(true_v1: int, model_size: int) -> int:
+    """The vocab-projection width after TP padding."""
+    return true_v1 + (-true_v1) % model_size
+
+
 def shard_params(params, mesh: Mesh):
     """Pad (vocab projection) + place params by their PartitionSpecs."""
     params = pad_params_for_tp(params, mesh.shape["model"])

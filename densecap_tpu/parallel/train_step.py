@@ -23,6 +23,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import DenseCapConfig
@@ -107,6 +108,49 @@ def init_state(key, cfg: DenseCapConfig, learning_rate=1e-5, mesh=None,
         step=jnp.zeros((), jnp.int32),
         finetune_cnn=jnp.zeros((), bool),
     ), tx
+
+
+def resume_train_state(path, template: TrainState, cfg: DenseCapConfig,
+                       mesh=None) -> TrainState:
+    """Restore a saved TrainState onto THIS run's mesh.
+
+    Checkpoints are written with the TP vocab padding stripped
+    (parallel/mesh.py:repad_vocab), so any --model_parallel can resume
+    any checkpoint: restore into an unpadded template, re-pad params
+    and adam m/v with zeros for this mesh's model axis (exact — the
+    padded logit columns are masked to -inf so their gradient, and
+    hence correct moments, are zero), then place by the template's
+    shardings.
+    """
+    import jax as _jax
+
+    from . import mesh as meshlib
+    from ..utils import checkpoint as ckpt
+
+    true_v1 = cfg.vocab_size + 1
+    state = ckpt.load_train_state(
+        path, meshlib.repad_vocab(template, true_v1))
+    if mesh is None:
+        return state
+    state = meshlib.repad_vocab(
+        state, meshlib.padded_vocab_size(true_v1, mesh.shape["model"]))
+
+    def _put_like(x, tmpl):
+        # Only adopt MESH shardings (adam m/v mirror the params). Leaves
+        # the template created eagerly (e.g. the optax count scalar)
+        # carry an incidental single-device sharding — committing to it
+        # would conflict with the mesh-committed params inside jit;
+        # return them uncommitted and let jit replicate.
+        if (isinstance(tmpl, _jax.Array)
+                and isinstance(tmpl.sharding, _jax.sharding.NamedSharding)):
+            return _jax.device_put(x, tmpl.sharding)
+        return np.asarray(x) if hasattr(x, "shape") else x
+
+    return state._replace(
+        params=meshlib.shard_params(state.params, mesh),
+        opt_state=jax.tree_util.tree_map(
+            _put_like, state.opt_state, template.opt_state),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"),

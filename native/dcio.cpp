@@ -105,31 +105,94 @@ DecodedImage decode_jpeg_mem(const uint8_t* data, size_t len) {
   return out;
 }
 
-// Bilinear resize RGB uint8 (align_corners=false, PIL-like box centers).
+// PIL-parity BILINEAR resample. Mirrors Pillow's Resample.c 8bpc path
+// algorithm-for-algorithm: a triangle filter whose support scales with
+// the downscale factor (area-style weighting — the old 2-tap
+// point-sampled bilinear matched PIL only "to a few pixels" when
+// downscaling), double-precision normalized coefficients quantized to
+// 22-bit fixed point, horizontal pass then vertical pass with uint8
+// intermediates. Output is bit-identical to
+// PIL.Image.resize(..., Image.BILINEAR) (tests/test_native_io.py).
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t clip8(int in) {
+  if (in >= (1 << (kPrecisionBits + 8))) return 255;
+  if (in <= 0) return 0;
+  return uint8_t(in >> kPrecisionBits);
+}
+
+// Per-output-pixel tap windows [xmin, xmin+xmax) and fixed-point
+// weights (ksize per pixel, zero-padded).
+void precompute_coeffs(int in_size, int out_size, std::vector<int>& bounds,
+                       std::vector<int>& kk, int* ksize_out) {
+  const double scale = double(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = filterscale;  // bilinear filter support = 1.0
+  const int ksize = int(std::ceil(support)) * 2 + 1;
+  bounds.assign(size_t(out_size) * 2, 0);
+  std::vector<double> prekk(size_t(out_size) * ksize, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    const double ss = 1.0 / filterscale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = &prekk[size_t(xx) * ksize];
+    double ww = 0.0;
+    int x = 0;
+    for (; x < xmax; ++x) {
+      const double arg = std::fabs((x + xmin - center + 0.5) * ss);
+      const double w = arg < 1.0 ? 1.0 - arg : 0.0;  // triangle filter
+      k[x] = w;
+      ww += w;
+    }
+    for (x = 0; x < xmax; ++x)
+      if (ww != 0.0) k[x] /= ww;
+    for (; x < ksize; ++x) k[x] = 0.0;
+    bounds[xx * 2 + 0] = xmin;
+    bounds[xx * 2 + 1] = xmax;
+  }
+  kk.resize(prekk.size());
+  for (size_t i = 0; i < prekk.size(); ++i)
+    kk[i] = int(prekk[i] < 0 ? prekk[i] * (1 << kPrecisionBits) - 0.5
+                             : prekk[i] * (1 << kPrecisionBits) + 0.5);
+  *ksize_out = ksize;
+}
+
 void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
                      int dh, int dw) {
-  const float sy = float(sh) / dh;
-  const float sx = float(sw) / dw;
-  for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    fy = std::max(0.f, std::min(fy, float(sh - 1)));
-    int y0 = int(fy);
-    int y1 = std::min(y0 + 1, sh - 1);
-    float wy = fy - y0;
+  std::vector<int> boundsx, kkx, boundsy, kky;
+  int kszx = 0, kszy = 0;
+  precompute_coeffs(sw, dw, boundsx, kkx, &kszx);
+  precompute_coeffs(sh, dh, boundsy, kky, &kszy);
+
+  // horizontal pass: (sh, sw) -> (sh, dw), uint8 intermediate like PIL
+  std::vector<uint8_t> tmp(size_t(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + size_t(y) * sw * 3;
     for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      fx = std::max(0.f, std::min(fx, float(sw - 1)));
-      int x0 = int(fx);
-      int x1 = std::min(x0 + 1, sw - 1);
-      float wx = fx - x0;
+      const int xmin = boundsx[x * 2], xmax = boundsx[x * 2 + 1];
+      const int* k = &kkx[size_t(x) * kszx];
       for (int c = 0; c < 3; ++c) {
-        float v00 = src[(size_t(y0) * sw + x0) * 3 + c];
-        float v01 = src[(size_t(y0) * sw + x1) * 3 + c];
-        float v10 = src[(size_t(y1) * sw + x0) * 3 + c];
-        float v11 = src[(size_t(y1) * sw + x1) * 3 + c];
-        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
-                  v10 * wy * (1 - wx) + v11 * wy * wx;
-        dst[(size_t(y) * dw + x) * 3 + c] = uint8_t(v + 0.5f);
+        int acc = 1 << (kPrecisionBits - 1);
+        for (int ix = 0; ix < xmax; ++ix)
+          acc += row[size_t(xmin + ix) * 3 + c] * k[ix];
+        tmp[(size_t(y) * dw + x) * 3 + c] = clip8(acc);
+      }
+    }
+  }
+  // vertical pass: (sh, dw) -> (dh, dw)
+  for (int y = 0; y < dh; ++y) {
+    const int ymin = boundsy[y * 2], ymax = boundsy[y * 2 + 1];
+    const int* k = &kky[size_t(y) * kszy];
+    for (int x = 0; x < dw; ++x) {
+      for (int c = 0; c < 3; ++c) {
+        int acc = 1 << (kPrecisionBits - 1);
+        for (int iy = 0; iy < ymax; ++iy)
+          acc += tmp[(size_t(ymin + iy) * dw + x) * 3 + c] * k[iy];
+        dst[(size_t(y) * dw + x) * 3 + c] = clip8(acc);
       }
     }
   }
@@ -182,8 +245,15 @@ extern "C" {
 // Bump whenever any exported signature changes; the ctypes loader
 // refuses (and rebuilds) a stale .so instead of calling it with a
 // mismatched argument list. v2: dcio_load_batch grew
-// orig_heights/orig_widths outputs.
-int dcio_abi_version() { return 2; }
+// orig_heights/orig_widths outputs. v3: PIL-parity triangle-filter
+// resampler (replaces the approximate 2-tap bilinear) + dcio_resize.
+int dcio_abi_version() { return 3; }
+
+// Direct resize entry (PIL BILINEAR parity — the parity test hook).
+void dcio_resize(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                 int dh, int dw) {
+  resize_bilinear(src, sh, sw, dst, dh, dw);
+}
 
 // Decode + resize-longest-edge + BGR + mean-subtract + pad onto a
 // canvas_size^2 float32 HWC canvas. Batched over `n` paths with
@@ -212,9 +282,11 @@ int dcio_load_batch(const char** paths, int n, int canvas_size,
       if (orig_widths) orig_widths[i] = 0;
       DecodedImage img = decode_jpeg_file(paths[i]);
       if (img.ok) {
-        float scale = float(S) / std::max(img.h, img.w);
-        int H = int(std::lround(img.h * scale));
-        int W = int(std::lround(img.w * scale));
+        // double + round-half-even to match the Python path's
+        // round(H0 * scale) exactly (utils/image.py:preprocess_for_model)
+        double scale = double(S) / std::max(img.h, img.w);
+        int H = int(std::nearbyint(img.h * scale));
+        int W = int(std::nearbyint(img.w * scale));
         H = std::min(H, S);
         W = std::min(W, S);
         std::vector<uint8_t> resized(size_t(H) * W * 3);

@@ -77,9 +77,6 @@ def test_dcio_roundtrip(tmp_path):
         pytest.skip("libdcio unavailable")
     from PIL import Image
 
-    # smooth gradient image: PIL downsampling is antialiased (area
-    # filter) while dcio is point bilinear — on smooth content they
-    # agree; noise images would diverge by design
     yy, xx = np.mgrid[0:60, 0:90]
     rgb = np.stack(
         [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1
@@ -108,11 +105,31 @@ def test_dcio_roundtrip(tmp_path):
     # BGR ordering: canvas channel 0 == blue - mean_b inside the image
     from densecap_tpu.utils.image import preprocess_for_model
 
-    ref_canvas, rh, rw, _ = preprocess_for_model(rgb, 64)
+    # v3 resampler is PIL-parity: the whole canvas (decode -> resize ->
+    # BGR -> mean-subtract -> pad) is bit-identical to the Python path
+    ref_canvas, rh, rw, _ = preprocess_for_model(pil, 64)
     assert (rh, rw) == (hts[0], wds[0])
-    diff = np.abs(canv[0, : int(rh), : int(rw)]
-                  - ref_canvas[: int(rh), : int(rw)])
-    assert np.percentile(diff, 95) < 12.0  # resampler/codec tolerance
+    np.testing.assert_array_equal(canv[0], ref_canvas)
+
+
+def test_dcio_resize_pil_parity():
+    """native resize == PIL BILINEAR bit-for-bit (VERDICT-2 weak #8:
+    the old 2-tap resampler was only 'few pixels' close when
+    downscaling, making default-on native IO change outputs)."""
+    if not native_lib.is_available("dcio"):
+        pytest.skip("libdcio unavailable")
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for sh, sw, dh, dw in [(60, 90, 43, 64), (240, 360, 160, 240),
+                           (31, 47, 64, 97), (50, 50, 50, 50),
+                           (5, 7, 3, 4)]:
+        rgb = rng.randint(0, 256, (sh, sw, 3), dtype=np.uint8)
+        ours = native_lib.resize_rgb(rgb, dh, dw)
+        ref = np.asarray(
+            Image.fromarray(rgb).resize((dw, dh), Image.BILINEAR))
+        np.testing.assert_array_equal(
+            ours, ref, err_msg=f"{sh}x{sw}->{dh}x{dw}")
 
 
 def test_load_batch_missing_file():

@@ -141,3 +141,72 @@ def test_indivisible_fc_dim_raises_with_leaf_name():
     params = densecap.init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(ValueError, match="recog"):
         meshlib.pad_params_for_tp(params, 4)
+
+
+def _vocab_leaf_widths(tree, candidates):
+    """Last-dim widths of every lm/proj w|b leaf in a pytree (params or
+    optimizer state — adam m/v mirror the param dict paths)."""
+    widths = []
+
+    def visit(path, x):
+        keys = [getattr(p, "key", None) for p in path]
+        if ("lm" in keys and "proj" in keys and keys[-1] in ("w", "b")
+                and getattr(x, "ndim", 0) >= 1
+                and x.shape[-1] in candidates):
+            widths.append(x.shape[-1])
+        return x
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    return widths
+
+
+def test_cross_mesh_resume(tmp_path):
+    """Save at model=2, resume at model=4 and model=1 (VERDICT-2 #5):
+    checkpoints strip the TP vocab padding on save and re-pad on load,
+    so --model_parallel is a per-run choice, not baked into the
+    checkpoint."""
+    from densecap_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_cfg(12)  # V+1 = 13: pads to 14 (model=2), 16 (model=4)
+    mesh2 = meshlib.make_mesh(8, model_parallel=2)
+    state, tx = ts.init_state(jax.random.PRNGKey(0), cfg, mesh=mesh2)
+    batch2 = meshlib.shard_batch(_batch(4, cfg), mesh2)
+    state, _ = ts.train_step(state, batch2, jax.random.PRNGKey(1), cfg, tx)
+    assert state.params["lm"]["proj"]["w"].shape[1] == 14
+
+    # save exactly as cli/train.py does: strip padding from the WHOLE
+    # state (params + adam m/v), then write
+    host = jax.tree_util.tree_map(np.asarray, state)
+    save_state = meshlib.repad_vocab(host, 13)
+    assert set(_vocab_leaf_widths(save_state, {13, 14, 16})) == {13}
+    path = ckpt.save_train_state(str(tmp_path), save_state)
+
+    for model_par in (4, 1):
+        mesh = meshlib.make_mesh(8, model_parallel=model_par)
+        tmpl, tx2 = ts.init_state(jax.random.PRNGKey(9), cfg, mesh=mesh)
+        resumed = ts.resume_train_state(path, tmpl, cfg, mesh)
+        padded = meshlib.padded_vocab_size(13, model_par)
+        # every vocab-dim leaf (params AND adam moments) re-padded
+        assert set(_vocab_leaf_widths(resumed.params, {13, 14, 16})) \
+            == {padded}
+        assert set(_vocab_leaf_widths(resumed.opt_state, {13, 14, 16})) \
+            == {padded}
+        # roundtrip is exact: stripping again recovers the saved params
+        got = meshlib.repad_vocab(
+            jax.tree_util.tree_map(np.asarray, resumed.params), 13)
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal, got, save_state.params)
+        assert int(resumed.step) == int(save_state.step)
+        # padded columns are zeros (weights and moments)
+        w = np.asarray(resumed.params["lm"]["proj"]["w"])
+        if padded > 13:
+            np.testing.assert_array_equal(w[:, 13:], 0.0)
+        # training continues on the new mesh
+        B = 8 // max(model_par, 1) if model_par > 1 else 8
+        batch = meshlib.shard_batch(_batch(B, cfg), mesh)
+        nxt, losses = ts.train_step(
+            resumed, batch, jax.random.PRNGKey(2), cfg, tx2)
+        assert np.isfinite(float(losses["total_loss"]))
+        if padded > 13:
+            np.testing.assert_array_equal(
+                np.asarray(nxt.params["lm"]["proj"]["w"])[:, 13:], 0.0)
