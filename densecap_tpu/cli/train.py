@@ -78,6 +78,10 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--timing", type=int, default=0)
+    p.add_argument("--profile_dir", default="",
+                   help="capture an XLA profiler trace of steps 3-5 "
+                        "(post-compile) into this dir, viewable in "
+                        "TensorBoard/xprof")
     # multi-host (parallel/distributed.py): launch one process per host
     # with the same coordinator address and a unique process_id
     p.add_argument("--coordinator_address", default="",
@@ -261,6 +265,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 1)
 
     it = int(state.step)
+    tracing = False
     while args.max_iters < 0 or it < args.max_iters:
         with timer.stage("data"):
             batch_np = prefetch.next()
@@ -281,12 +286,23 @@ def main(argv=None):
             print("enabling CNN finetuning (one-time recompile with the "
                   "trunk back in the backward graph)")
 
+        # XLA trace window: steps 3-5 (past both compiles and warmup)
+        if args.profile_dir and it == 2:
+            jax.profiler.start_trace(args.profile_dir)
+            tracing = True
+
         rng, sub = jax.random.split(rng)
         with timer.stage("step"):
             state, losses = ts.train_step(state, batch, sub, cfg, tx)
             if args.timing:
                 jax.block_until_ready(losses["total_loss"])
         it = int(state.step)
+
+        if args.profile_dir and tracing and it >= 5:
+            jax.block_until_ready(losses["total_loss"])
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f"wrote XLA trace for steps 3-5 to {args.profile_dir}")
 
         total = float(losses["total_loss"])
         if it % args.losses_log_every == 0:
@@ -371,6 +387,8 @@ def main(argv=None):
                     print(f"saved checkpoint to "
                           f"{args.checkpoint_path}.npz")
 
+    if tracing:  # max_iters ended inside the trace window
+        jax.profiler.stop_trace()
     prefetch.close()
 
 

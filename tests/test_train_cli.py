@@ -80,3 +80,37 @@ def test_train_cli_end_to_end(dataset, tmp_path):
     params, extra = ckpt.load_params(ckpt_prefix + ".npz")
     meta = json.loads(str(extra["meta"]))
     assert "config" in meta and "idx_to_token" in meta
+
+    # the .npz is saved UNPADDED (mesh-portable): vocab dim == V+1
+    vocab_size = int(meta["vocab_size"])
+    assert params["lm"]["proj"]["w"].shape[1] == vocab_size + 1
+
+    # resume the orbax state through the CLI on a DIFFERENT mesh
+    # (model_parallel 2): the load path re-pads the stripped vocab
+    # padding for this run's mesh (VERDICT-2 #5, cross-mesh resume)
+    step_dir = str(tmp_path / "ck" / "step_3")
+    assert os.path.isdir(step_dir)
+    train_cli.main([
+        "--data_h5", str(dataset / "d.h5"),
+        "--data_json", str(dataset / "d.json"),
+        "--batch_size", "2",
+        "--max_gt_boxes", "4",
+        "--sampler_batch_size", "8",
+        "--rnn_size", "16",
+        "--input_encoding_size", "16",
+        "--learning_rate", "1e-4",
+        "--max_iters", "5",
+        "--save_checkpoint_every", "5",
+        "--val_images_use", "1",
+        "--checkpoint_path", ckpt_prefix,
+        "--losses_log_every", "1",
+        "--checkpoint_start_from", step_dir,
+        "--model_parallel", "2",
+    ])
+    with open(ckpt_prefix + ".json") as f:
+        hist2 = json.load(f)
+    assert hist2["iter"] == 5
+    # continued from step 3, not restarted
+    assert all(int(k) > 3 for k in hist2["loss_history"])
+    params2, extra2 = ckpt.load_params(ckpt_prefix + ".npz")
+    assert params2["lm"]["proj"]["w"].shape[1] == vocab_size + 1
