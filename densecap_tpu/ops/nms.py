@@ -17,6 +17,14 @@ This computes EXACTLY the greedy NMS picks of the reference (same pascal
 but as a single compiled program: ~N/T matrix steps instead of up to N
 serial host iterations. Suppression uses strict IoU > thresh survival
 (reference keeps boxes with iou <= overlap, box_utils.lua:241).
+
+The sweep early-exits once `max_out` survivors are FINALIZED: a box's
+fate is settled the moment its tile is processed (suppression only
+flows from a tile to strictly later boxes), so as soon as the first t
+tiles hold >= max_out survivors the remaining tiles cannot change the
+emitted set — the same early stop the reference's serial loop performs
+at box granularity (box_utils.lua:231-236). Bit-identical outputs;
+worst case (sparse survivors) still sweeps every tile.
 """
 
 from __future__ import annotations
@@ -74,10 +82,13 @@ def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=128):
     num_tiles = Np // T
 
     col_idx = jnp.arange(Np)
+    K = int(max_out)
 
-    def tile_body(t, alive):
+    def tile_body(state):
+        t, alive, found = state
         start = t * T
-        tile_boxes = lax.dynamic_slice(sboxes, (start, 0), (T, 4))
+        tile_boxes = lax.dynamic_slice(sboxes, (start, jnp.int32(0)),
+                                       (T, 4))
         alive_in = lax.dynamic_slice(alive, (start,), (T,))
 
         # --- within-tile greedy fixpoint -------------------------------
@@ -108,12 +119,24 @@ def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=128):
         ) & (col_idx >= start + T)
         alive = alive & ~sup_later
         alive = lax.dynamic_update_slice(alive, alive_tile, (start,))
-        return alive
+        found = found + jnp.sum(alive_tile).astype(found.dtype)
+        return (t + 1).astype(t.dtype), alive, found
 
-    alive = lax.fori_loop(0, num_tiles, tile_body, svalid)
+    def sweep_cond(state):
+        t, _, found = state
+        # Stop once K survivors are finalized: emission below only reads
+        # the first K survivors in score order, all of which then live in
+        # already-processed tiles (their alive flags are final).
+        return jnp.logical_and(t < num_tiles, found < K)
+
+    _, alive, _ = lax.while_loop(
+        sweep_cond, tile_body, (jnp.int32(0), svalid, jnp.int32(0))
+    )
 
     # --- emit first K survivors in score order --------------------------
-    K = int(max_out)
+    # Positions in unprocessed tiles may still be flagged alive, but
+    # their cumulative rank is >= K (the processed prefix already holds
+    # K survivors), so `take` drops them and `total` clamps to K.
     rank = jnp.cumsum(alive) - 1  # rank among survivors
     take = alive & (rank < K)
     slot = jnp.where(take, rank, K)  # K = out of bounds -> dropped
