@@ -35,3 +35,32 @@ def pallas_roi_auto(flag: int, cfg) -> bool:
     """DEPRECATED shim for the old bool flag: True only when the
     resolver picks the Pallas kernel explicitly."""
     return resolve_roi_impl(flag, cfg) == "pallas"
+
+
+def maybe_quantize(params, mode: str):
+    """Apply the --quantize flag to a loaded params pytree.
+
+    "" / "none": return params unchanged (the bf16 parity path).
+    "int8": W8A8-quantize the recognition fc6/fc7 and the LM vocab
+    projection (ops/quant.py) — v5e's int8 MXU runs these at ~2x the
+    bf16 rate. Serving-only: the train CLI never calls this.
+    """
+    if mode in ("", "none"):
+        return params
+    if mode == "int8":
+        from ..ops.quant import quantize_for_inference
+
+        return quantize_for_inference(params)
+    raise SystemExit(f"--quantize: unknown mode {mode!r} "
+                     "(expected none|int8)")
+
+
+def add_quantize_flag(parser):
+    parser.add_argument(
+        "--quantize", default="", choices=["", "none", "int8"],
+        help="int8: W8A8-quantize the recognition FCs (experimental; "
+             "~1%% code noise, boxes/objectness branches stay full "
+             "precision). MEASURED NEUTRAL at flagship geometry on "
+             "v5e — the isolated FC win is cancelled by unfused "
+             "quantize passes (doc/BENCH.md int8 section). Default "
+             "off; useful to A/B on other geometries/hardware.")

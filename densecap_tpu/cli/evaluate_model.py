@@ -41,6 +41,8 @@ def main(argv=None):
                         "covering its examples — identical outputs, "
                         "less padded-square conv waste")
     p.add_argument("--out_json", default="")
+    from ._common import add_quantize_flag
+    add_quantize_flag(p)
     args = p.parse_args(argv)
 
     from ..config import DenseCapConfig
@@ -57,8 +59,9 @@ def main(argv=None):
     else:
         cfg = DenseCapConfig(vocab_size=loader.vocab_size(),
                              seq_length=loader.seq_length())
-    from ._common import resolve_roi_impl
+    from ._common import maybe_quantize, resolve_roi_impl
 
+    params = maybe_quantize(params, args.quantize)
     cfg = cfg.replace(
         image_size=loader.canvas,
         test_max_proposals=args.num_proposals,

@@ -34,6 +34,8 @@ def main(argv=None):
                    help="RoI-align formulation: auto picks the MXU "
                         "einsum on TPU at the standard 512ch/7x7 "
                         "geometry (fastest measured), gather elsewhere")
+    from ._common import add_quantize_flag
+    add_quantize_flag(p)
     args = p.parse_args(argv)
 
     from ..config import DenseCapConfig
@@ -66,8 +68,9 @@ def main(argv=None):
             vocab_size=int(meta.get("vocab_size", 10000)),
             seq_length=int(meta.get("seq_length", 15)),
         )
-    from ._common import resolve_roi_impl
+    from ._common import maybe_quantize, resolve_roi_impl
 
+    params = maybe_quantize(params, args.quantize)
     cfg = cfg.replace(
         image_size=args.image_size,
         roi_align_impl=resolve_roi_impl(args.roi_align, cfg),

@@ -44,6 +44,8 @@ def build_argparser():
                         "vis/view_results.html browser can show them")
     p.add_argument("--max_images", type=int, default=100)
     p.add_argument("--beam_size", type=int, default=0)
+    from ._common import add_quantize_flag
+    add_quantize_flag(p)
     p.add_argument("--roi_align", default="",
                    choices=["", "auto", "gather", "mxu", "pallas"],
                    help="RoI-align formulation: auto picks the MXU "
@@ -139,9 +141,10 @@ def main(argv=None):
     from ..utils import checkpoint as ckpt
     from ..utils.image import load_image, preprocess_for_model
     from ..utils.text import decode_sequence
-    from ._common import resolve_roi_impl
+    from ._common import maybe_quantize, resolve_roi_impl
 
     params, extra = ckpt.load_params(args.checkpoint)
+    params = maybe_quantize(params, args.quantize)
     meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
     vocab_size = int(meta.get("vocab_size", 10000))
     idx_to_token = meta.get("idx_to_token", {})

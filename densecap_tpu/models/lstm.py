@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops import quant
+
 
 class LMConfig(NamedTuple):
     vocab_size: int
@@ -95,15 +97,23 @@ def _encode_image(params, vectors, compute_dtype):
 
 def _project(params, h, compute_dtype):
     p = params["proj"]
-    logits = jnp.dot(h.astype(compute_dtype), p["w"].astype(compute_dtype),
-                     preferred_element_type=jnp.float32) + p["b"]
+    if quant.is_quantized(p):
+        # int8 serving path (ops/quant.py): the projection feeds
+        # argmax/top_k/log_softmax, all robust to ~1% logit noise.
+        logits = quant.qdot(h, p)
+        width = p["w_q"].shape[-1]
+    else:
+        logits = jnp.dot(h.astype(compute_dtype),
+                         p["w"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32) + p["b"]
+        width = p["w"].shape[-1]
     # Under tensor parallelism the vocab dim is zero-padded to a multiple
     # of the model axis (parallel/mesh.py:pad_params_for_tp); mask padded
     # classes so argmax/top_k/softmax never see them. The true V+1 is
     # recoverable from the (never padded) V+2-row embed table.
     true_w = params["embed"].shape[0] - 1
-    if p["w"].shape[-1] > true_w:
-        mask = jnp.arange(p["w"].shape[-1]) < true_w
+    if width > true_w:
+        mask = jnp.arange(width) < true_w
         logits = jnp.where(mask, logits, -1e30)
     return logits
 

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops import quant
+
 # (name, out_channels) per conv; 'M' = 2x2/2 max pool.
 TRUNK1_CFG = [("conv1_1", 64), ("conv1_2", 64), "M",
               ("conv2_1", 128), ("conv2_2", 128), "M"]
@@ -236,8 +238,14 @@ def apply_recog(params, roi_feats, *, train, dropout_key=None,
     x = roi_feats.reshape(B, -1).astype(compute_dtype)
     for name in ("fc6", "fc7"):
         p = params[name]
-        x = jnp.dot(x, p["w"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + p["b"]
+        if quant.is_quantized(p):
+            # int8 W8A8 serving path (ops/quant.py): inference-only —
+            # round() would zero the weight gradients under training.
+            assert not train, "quantized recog params are inference-only"
+            x = quant.qdot(x, p)
+        else:
+            x = jnp.dot(x, p["w"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32) + p["b"]
         x = jax.nn.relu(x)
         if train and drop_prob > 0:
             assert dropout_key is not None

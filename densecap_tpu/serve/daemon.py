@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--max_boxes", type=int, default=50)
     p.add_argument("--poll_interval", type=float, default=0.05,
                    help="seconds between directory scans (daemon.lua:102)")
+    from ..cli._common import add_quantize_flag, maybe_quantize
+    add_quantize_flag(p)
     args = p.parse_args(argv)
 
     from ..config import DenseCapConfig
@@ -36,6 +38,7 @@ def main(argv=None):
     from .engine import InferenceEngine
 
     params, extra = ckpt.load_params(args.checkpoint)
+    params = maybe_quantize(params, args.quantize)
     meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
     if "config" in meta:
         cfg = DenseCapConfig.from_json(meta["config"])

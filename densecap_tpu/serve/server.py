@@ -125,6 +125,8 @@ def main(argv=None):
                    help="enable TLS (browser webcam needs HTTPS off "
                         "localhost)")
     p.add_argument("--keyfile", default="")
+    from ..cli._common import add_quantize_flag
+    add_quantize_flag(p)
     args = p.parse_args(argv)
 
     from ..config import DenseCapConfig
@@ -132,6 +134,8 @@ def main(argv=None):
     from .engine import InferenceEngine
 
     params, extra = ckpt.load_params(args.checkpoint)
+    from ..cli._common import maybe_quantize
+    params = maybe_quantize(params, args.quantize)
     meta = json.loads(str(extra["meta"])) if "meta" in extra else {}
     if "config" in meta:
         cfg = DenseCapConfig.from_json(meta["config"])
