@@ -18,16 +18,21 @@ but as a single compiled program: ~N/T matrix steps instead of up to N
 serial host iterations. Suppression uses strict IoU > thresh survival
 (reference keeps boxes with iou <= overlap, box_utils.lua:241).
 
-The sweep early-exits once `max_out` survivors are FINALIZED: a box's
-fate is settled the moment its tile is processed (suppression only
-flows from a tile to strictly later boxes), so as soon as the first t
-tiles hold >= max_out survivors the remaining tiles cannot change the
-emitted set — the same early stop the reference's serial loop performs
-at box granularity (box_utils.lua:231-236). Bit-identical outputs;
-worst case (sparse survivors) still sweeps every tile.
+An optional early exit (DENSECAP_NMS_EARLY_EXIT=1) stops the sweep
+once `max_out` survivors are FINALIZED: a box's fate is settled the
+moment its tile is processed (suppression only flows from a tile to
+strictly later boxes), so as soon as the first t tiles hold >= max_out
+survivors the remaining tiles cannot change the emitted set — the same
+early stop the reference's serial loop performs at box granularity
+(box_utils.lua:231-236). Bit-identical outputs, and 3.2x faster in an
+ISOLATED clustered-box microbench — but the dynamic while_loop it
+needs measures ~3 ms/step SLOWER in the full shipping inference
+program (doc/BENCH.md), so the static fori_loop sweep is the default.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax.numpy as jnp
 from jax import lax
@@ -35,6 +40,17 @@ from jax import lax
 from .boxes import iou_pascal
 
 NEG_INF = -1e38
+
+# Sweep loop mode: "0" (default) = fixed-trip lax.fori_loop over every
+# tile; "1" = lax.while_loop that early-exits once `max_out` survivors
+# are finalized. Identical picks either way (the early exit is proven
+# exact; tests run both), but the dynamic-predicate loop costs ~3
+# ms/step MORE in the full shipping program on TPU (bench A/B: 122.7
+# vs 114.1 img/s) even though it wins 3.2x in the isolated
+# clustered-box sweep — the while lowering defeats the overlap XLA
+# finds for the static loop. Flip on for workloads dominated by
+# clustered NMS at small max_out.
+EARLY_EXIT = os.environ.get("DENSECAP_NMS_EARLY_EXIT", "0") != "0"
 
 
 def _pad_to_multiple(x, multiple, axis, value):
@@ -129,9 +145,16 @@ def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=128):
         # already-processed tiles (their alive flags are final).
         return jnp.logical_and(t < num_tiles, found < K)
 
-    _, alive, _ = lax.while_loop(
-        sweep_cond, tile_body, (jnp.int32(0), svalid, jnp.int32(0))
-    )
+    if EARLY_EXIT:
+        _, alive, _ = lax.while_loop(
+            sweep_cond, tile_body, (jnp.int32(0), svalid, jnp.int32(0))
+        )
+    else:
+        _, alive, _ = lax.fori_loop(
+            0, num_tiles,
+            lambda _, st: tile_body(st),
+            (jnp.int32(0), svalid, jnp.int32(0)),
+        )
 
     # --- emit first K survivors in score order --------------------------
     # Positions in unprocessed tiles may still be flagged alive, but

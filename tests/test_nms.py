@@ -133,10 +133,15 @@ def test_nms_jit_and_all_invalid():
     assert not np.asarray(ov).any()
 
 
-def test_nms_early_exit_matches_full_sweep():
+def test_nms_early_exit_matches_full_sweep(monkeypatch):
     """K << N forces the sweep's early exit (prefix survivors >= K
     after few tiles); the first-K output must equal the numpy greedy
-    reference exactly — later unprocessed alive bits must not leak."""
+    reference exactly — later unprocessed alive bits must not leak.
+    Runs BOTH sweep lowerings (static fori_loop default and the
+    DENSECAP_NMS_EARLY_EXIT while_loop) so whichever is off by default
+    stays covered."""
+    import densecap_tpu.ops.nms as nms_mod
+
     rng = np.random.RandomState(11)
     n = 600
     # spread boxes: little suppression, so survivors accumulate fast
@@ -145,9 +150,12 @@ def test_nms_early_exit_matches_full_sweep():
     bs = np.concatenate(
         [xy, xy + wh, rng.permutation(n)[:, None].astype(np.float64)],
         axis=1)
-    for k in (10, 50, 130):
-        idx, valid = nms(jnp.asarray(bs[:, :4]), jnp.asarray(bs[:, 4]),
-                         0.5, k, tile_size=64)
-        ref = _numpy_greedy(bs, 0.5, k)
-        got = np.asarray(idx)[np.asarray(valid)]
-        np.testing.assert_array_equal(got, ref)
+    for early_exit in (False, True):
+        monkeypatch.setattr(nms_mod, "EARLY_EXIT", early_exit)
+        for k in (10, 50, 130):
+            idx, valid = nms(jnp.asarray(bs[:, :4]),
+                             jnp.asarray(bs[:, 4]),
+                             0.5, k, tile_size=64)
+            ref = _numpy_greedy(bs, 0.5, k)
+            got = np.asarray(idx)[np.asarray(valid)]
+            np.testing.assert_array_equal(got, ref)
