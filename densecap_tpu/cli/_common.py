@@ -2,6 +2,31 @@
 
 from __future__ import annotations
 
+import os
+
+
+def setup_compilation_cache():
+    """Point JAX at a persistent on-disk compilation cache so process
+    restarts don't re-pay cold compiles (first compiles over the dev
+    tunnel run 20-400 s; beam search ~2.9 min — doc/BENCH.md). Same
+    setup bench.py has always used, applied to every CLI and the
+    serving stack.
+
+    Env overrides: JAX_COMPILATION_CACHE_DIR picks the directory;
+    set DENSECAP_NO_COMPILATION_CACHE=1 to disable (e.g. a read-only
+    filesystem). Safe under multi-process/multi-host: entries are
+    written atomically and keyed by program hash, so concurrent
+    writers at worst duplicate work, never corrupt.
+    """
+    if os.environ.get("DENSECAP_NO_COMPILATION_CACHE", "") not in ("", "0"):
+        return
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def resolve_roi_impl(flag, cfg) -> str:
     """Resolve a --roi_align flag to a roi_align_impl config value.

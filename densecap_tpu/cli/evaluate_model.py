@@ -15,6 +15,12 @@ def main(argv=None):
     p.add_argument("--split", default="test", choices=("val", "test"))
     p.add_argument("--max_images", type=int, default=-1)
     p.add_argument("--num_proposals", type=int, default=1000)
+    p.add_argument("--pre_nms_topk", type=int, default=6000,
+                   help="NMS scans only the top-K scored anchors "
+                        "(-1 = all ~24k, exact reference semantics). "
+                        "6000 is survivor-identical on the measured "
+                        "workload; 2000 is a measured fast-serving "
+                        "mode (mAP +0.0001, doc/BENCH.md)")
     p.add_argument("--rpn_nms_thresh", type=float, default=0.7)
     p.add_argument("--final_nms_thresh", type=float, default=0.3)
     p.add_argument("--max_gt_boxes", type=int, default=128)
@@ -41,9 +47,10 @@ def main(argv=None):
                         "covering its examples — identical outputs, "
                         "less padded-square conv waste")
     p.add_argument("--out_json", default="")
-    from ._common import add_quantize_flag
+    from ._common import add_quantize_flag, setup_compilation_cache
     add_quantize_flag(p)
     args = p.parse_args(argv)
+    setup_compilation_cache()
 
     from ..config import DenseCapConfig
     from ..data.loader import DenseCapLoader
@@ -68,6 +75,7 @@ def main(argv=None):
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         max_gt_boxes=args.max_gt_boxes,
+        test_pre_nms_topk=args.pre_nms_topk,
         roi_align_impl=resolve_roi_impl(
             args.roi_align or args.pallas_roi_align, cfg),
     )

@@ -34,9 +34,10 @@ def main(argv=None):
                    help="RoI-align formulation: auto picks the MXU "
                         "einsum on TPU at the standard 512ch/7x7 "
                         "geometry (fastest measured), gather elsewhere")
-    from ._common import add_quantize_flag
+    from ._common import add_quantize_flag, setup_compilation_cache
     add_quantize_flag(p)
     args = p.parse_args(argv)
+    setup_compilation_cache()
 
     from ..config import DenseCapConfig
     from ..models import densecap

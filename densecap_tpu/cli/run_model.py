@@ -34,6 +34,12 @@ def build_argparser():
     p.add_argument("--rpn_nms_thresh", type=float, default=0.7)
     p.add_argument("--final_nms_thresh", type=float, default=0.3)
     p.add_argument("--num_proposals", type=int, default=1000)
+    p.add_argument("--pre_nms_topk", type=int, default=6000,
+                   help="NMS scans only the top-K scored anchors "
+                        "(-1 = all ~24k, exact reference semantics). "
+                        "6000 is survivor-identical on the measured "
+                        "workload; 2000 is a measured fast-serving "
+                        "mode (mAP +0.0001, doc/BENCH.md)")
     p.add_argument("--boxes_to_show", type=int, default=10)
     p.add_argument("--output_dir", default="vis/data")
     p.add_argument("--output_vis", type=int, default=1)
@@ -135,6 +141,9 @@ def run_split(args, params, cfg, idx_to_token):
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    from ._common import setup_compilation_cache
+    setup_compilation_cache()
+
     from ..config import DenseCapConfig
     from ..models import densecap
     from ..ops.boxes import xcycwh_to_xywh
@@ -160,6 +169,7 @@ def main(argv=None):
         test_rpn_nms_thresh=args.rpn_nms_thresh,
         test_final_nms_thresh=args.final_nms_thresh,
         test_max_proposals=args.num_proposals,
+        test_pre_nms_topk=args.pre_nms_topk,
         roi_align_impl=resolve_roi_impl(
             args.roi_align or args.pallas_roi_align, cfg),
     )

@@ -94,6 +94,9 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
+    from ._common import setup_compilation_cache
+    setup_compilation_cache()
+
     from ..config import DenseCapConfig
     from ..data.loader import DenseCapLoader, PrefetchingLoader
     from ..eval.eval_split import eval_split

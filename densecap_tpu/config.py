@@ -98,6 +98,25 @@ class DenseCapConfig:
     # Run the NMS suppression sweep as one Pallas kernel (TPU only)
     use_pallas_nms: bool = False
 
+    # Fuse trunk1's conv1_2+pool1 and conv2_2+pool2 into single Pallas
+    # kernels (ops/pallas/conv_pool_kernel.py): the pre-pool activation
+    # (531 MB bf16 at B=8 720px for conv1_2) never round-trips HBM.
+    # OFF by default: MEASURED SLOWER on v5e (scripts/
+    # conv_pool_fused_check.py — 9.1 vs 6.1 ms at conv1_2+pool1, 6.3 vs
+    # 3.0 at conv2_2+pool2, scan-amplified): the w-paired formulation
+    # pays 2x nominal conv FLOPs to keep the 128-wide MXU full at C=64,
+    # which outweighs the saved pool round-trip (XLA's reduce_window
+    # pool is already near its bandwidth envelope — measured fastest of
+    # three pool formulations, doc/BENCH.md round-4 section). Numerics
+    # are proven: f32 parity rtol 1e-4, bf16 error no worse than
+    # unfused vs an f32 oracle. Known limit: the ANY-memory-space
+    # operand doesn't lower under vmap, so the flag only runs on the
+    # single-image path on real TPU (interpret mode composes fully).
+    # Trunk1-only by construction (C in {64,128}); the kernel has no
+    # VJP and stop-gradients its inputs — trunk1 is never trained
+    # (DenseCapModel.lua:338-358).
+    fuse_conv_pool: bool = False
+
     # conv1_1 via 2x2 space-to-depth (EXACT same outputs). Off by
     # default: measured on v5e, the s2d conv itself is ~1.7x faster than
     # the plain C=3 conv (1.25 vs 2.14 ms/step at B=8 720px) but the

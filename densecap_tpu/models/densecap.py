@@ -120,7 +120,9 @@ def features(params, image, cfg: DenseCapConfig, img_h=None, img_w=None):
     def run(p1, p2, img, eh, ew):
         x = img[None]
         x = apply_trunk(p1, TRUNK1_CFG, x, cfg.compute_dtype,
-                        valid_h=eh, valid_w=ew, s2d_first=cfg.conv1_s2d)
+                        valid_h=eh, valid_w=ew, s2d_first=cfg.conv1_s2d,
+                        fuse_conv_pool=cfg.fuse_conv_pool,
+                        fuse_interpret=jax.default_backend() != "tpu")
         # The reference NEVER backprops through conv1_1..pool2: its
         # manual backward starts at layer 11 (DenseCapModel.lua:338-358)
         # regardless of -finetune_cnn_after. Cutting the graph here both

@@ -166,6 +166,33 @@ def conv1_1_s2d(x, p, compute_dtype):
     return y + p["b"].astype(compute_dtype)
 
 
+def _fused_conv_pool_stage(p, x, eh, ew, compute_dtype, interpret):
+    """conv3x3+bias+ReLU+mask+2x2 pool+post-pool mask as ONE Pallas
+    kernel (ops/pallas/conv_pool_kernel.py) — the pre-pool activation
+    never touches HBM. Inputs are stop_gradient'd: the fused stages live
+    in trunk1, which is NEVER trained (reference backward starts at
+    torch layer 11, DenseCapModel.lua:338-358), and the kernel has no
+    VJP — stopping gradients here keeps jax.grad tracing away from it.
+    """
+    from ..ops.pallas.conv_pool_kernel import fused_conv_relu_pool
+
+    N, H, W, _ = x.shape
+    if eh is None:
+        ext = jnp.full((N, 2), 0.0).at[:, 0].set(float(H)).at[:, 1].set(
+            float(W))
+    else:
+        e = jnp.stack([jnp.asarray(eh, jnp.float32),
+                       jnp.asarray(ew, jnp.float32)])
+        ext = jnp.broadcast_to(e[None], (N, 2))
+    return fused_conv_relu_pool(
+        lax.stop_gradient(x.astype(compute_dtype)),
+        lax.stop_gradient(p["w"]),
+        lax.stop_gradient(p["b"]),
+        lax.stop_gradient(ext),
+        interpret=interpret,
+    )
+
+
 def _extent_mask(H, W, eh, ew, dtype):
     """(H, W, 1) mask: 1 inside the valid (eh, ew) extent, 0 in padding."""
     rows = jnp.arange(H, dtype=jnp.float32) < eh
@@ -173,8 +200,17 @@ def _extent_mask(H, W, eh, ew, dtype):
     return (rows[:, None] & cols[None, :])[..., None].astype(dtype)
 
 
+def _halve_extent(e):
+    """Floor-halve an extent scalar (python or traced), as torch
+    SpatialMaxPooling sizes its output."""
+    if hasattr(e, "dtype"):
+        return jnp.floor(e / 2.0)
+    return float(int(e) // 2)
+
+
 def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
-                valid_h=None, valid_w=None, s2d_first=False):
+                valid_h=None, valid_w=None, s2d_first=False,
+                fuse_conv_pool=False, fuse_interpret=False):
     """Run a conv stack. x: (N, H, W, C) f32. Returns f32 activations.
 
     valid_h/valid_w (python or traced scalars): true image extent on a
@@ -185,11 +221,22 @@ def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
     approximately; asserted by the canvas==cropped tests in tests/test_densecap_model.py). The
     extent floor-halves at each pool, mirroring torch SpatialMaxPooling
     sizing. Cost: one fused elementwise multiply per conv.
+
+    fuse_conv_pool: run conv+relu+mask+pool+mask as ONE Pallas kernel
+    wherever the geometry allows (C in {64, 128}: conv1_2+pool1 and
+    conv2_2+pool2 — exactly trunk1's pools). Inference/frozen-trunk
+    only: the fused stage stop-gradients its inputs (trunk1 is never
+    trained; DenseCapModel.lua:338-358). Pass fuse_interpret=True to
+    run the kernel in interpret mode off-TPU (tests).
     """
+    from ..ops.pallas.conv_pool_kernel import can_fuse
+
     eh, ew = valid_h, valid_w
     masked = valid_h is not None
     first_conv = True
-    for item in cfg:
+    i = 0
+    while i < len(cfg):
+        item = cfg[i]
         if item == "M":
             x = max_pool_2x2(x)
             if masked:
@@ -198,22 +245,34 @@ def apply_trunk(params, cfg, x, compute_dtype=jnp.bfloat16,
                 # of valid data (e.g. valid width 33 -> pooled col 16
                 # reads original col 32) and must not leak into the
                 # next conv's edge reads.
-                eh = jnp.floor(eh / 2.0) if hasattr(eh, "dtype") \
-                    else float(int(eh) // 2)
-                ew = jnp.floor(ew / 2.0) if hasattr(ew, "dtype") \
-                    else float(int(ew) // 2)
+                eh, ew = _halve_extent(eh), _halve_extent(ew)
                 x = x * _extent_mask(x.shape[1], x.shape[2], eh, ew,
                                      x.dtype)
-        else:
-            name, _ = item
-            if first_conv and s2d_first:
-                x = jax.nn.relu(conv1_1_s2d(x, params[name], compute_dtype))
-            else:
-                x = jax.nn.relu(conv2d_same(x, params[name], compute_dtype))
-            first_conv = False
+            i += 1
+            continue
+        name, _ = item
+        nxt = cfg[i + 1] if i + 1 < len(cfg) else None
+        if (fuse_conv_pool and nxt == "M"
+                and not (first_conv and s2d_first)
+                and can_fuse(x.shape, params[name]["w"].shape)):
+            # fused conv+relu+mask+pool+mask: the kernel applies both
+            # the conv-extent mask and the post-pool floor-halved mask
+            x = _fused_conv_pool_stage(
+                params[name], x, eh, ew, compute_dtype, fuse_interpret)
             if masked:
-                x = x * _extent_mask(x.shape[1], x.shape[2], eh, ew,
-                                     x.dtype)
+                eh, ew = _halve_extent(eh), _halve_extent(ew)
+            first_conv = False
+            i += 2
+            continue
+        if first_conv and s2d_first:
+            x = jax.nn.relu(conv1_1_s2d(x, params[name], compute_dtype))
+        else:
+            x = jax.nn.relu(conv2d_same(x, params[name], compute_dtype))
+        first_conv = False
+        if masked:
+            x = x * _extent_mask(x.shape[1], x.shape[2], eh, ew,
+                                 x.dtype)
+        i += 1
     # one upcast at the stack boundary; inside, activations stay in
     # compute_dtype (masking zeros are exact in any dtype, so canvas ==
     # cropped equality is unaffected)

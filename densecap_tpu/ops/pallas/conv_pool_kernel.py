@@ -39,6 +39,11 @@ step (one image x R output rows):
     canvas==cropped exactness contract of apply_trunk.
   * The 2x2/2 max pool is then jnp.maximum(Y_even, Y_odd) followed by
     an h-pair max over a leading-dim split — no lane/sublane reshape.
+  * Re-mask the POOLED output at the floor-halved extents (rows <
+    floor(eh/2), cols < floor(ew/2)) — the same post-pool mask
+    apply_trunk applies, so the kernel is a drop-in replacement for
+    conv -> relu -> mask -> pool -> mask and the caller continues with
+    the floor-halved extent.
 
 Halo rows are recomputed rather than carried between grid steps:
 (R+2)/R = 25% extra matmul FLOPs at R=8, bought back many times over
@@ -88,10 +93,19 @@ def _kernel(x_any, bm_ref, bias_ref, ext_ref, out_ref, xs_ref, sems,
     r0 = i * R
     cd = xs_ref.dtype
 
+    # Scratch layout: (R+2, PAD + W2 + PAD, 2C) with PAD = 8 (one full
+    # sublane tile). DMA destinations must be tile-aligned on the
+    # sublane dim — Mosaic rejects a memref_slice at sublane offset 1
+    # ("tile index in dimension 1 not divisible by the tiling (8)") —
+    # so the body lands at offset PAD and only the two SAME-padding
+    # zero pair-columns sit at the unaligned read edges (PAD-1 and
+    # PAD+W2), touched by plain vector loads, which relayout freely.
+    PAD = 8
+
     # --- stage rows [r0-1, r0+R] into the pair-padded scratch ----------
     body = pltpu.make_async_copy(
         x_any.at[b, pl.ds(r0, R), :, :],
-        xs_ref.at[pl.ds(1, R), pl.ds(1, W2), :],
+        xs_ref.at[pl.ds(1, R), pl.ds(PAD, W2), :],
         sems.at[0],
     )
     body.start()
@@ -100,7 +114,7 @@ def _kernel(x_any, bm_ref, bias_ref, ext_ref, out_ref, xs_ref, sems,
     def _():
         pltpu.make_async_copy(
             x_any.at[b, pl.ds(r0 - 1, 1), :, :],
-            xs_ref.at[pl.ds(0, 1), pl.ds(1, W2), :],
+            xs_ref.at[pl.ds(0, 1), pl.ds(PAD, W2), :],
             sems.at[1],
         ).start()
 
@@ -108,23 +122,25 @@ def _kernel(x_any, bm_ref, bias_ref, ext_ref, out_ref, xs_ref, sems,
     def _():
         pltpu.make_async_copy(
             x_any.at[b, pl.ds(r0 + R, 1), :, :],
-            xs_ref.at[pl.ds(R + 1, 1), pl.ds(1, W2), :],
+            xs_ref.at[pl.ds(R + 1, 1), pl.ds(PAD, W2), :],
             sems.at[2],
         ).start()
 
     # SAME-padding zeros: the w pair-columns every step (the DMAs never
     # touch them, but scratch reuse across steps makes fresh writes the
     # safe choice and they are ~KB), the h halo rows only at the edges.
-    xs_ref[:, 0, :] = jnp.zeros((R + 2, 2 * C), cd)
-    xs_ref[:, W2 + 1, :] = jnp.zeros((R + 2, 2 * C), cd)
+    xs_ref[:, PAD - 1, :] = jnp.zeros((R + 2, 2 * C), cd)
+    xs_ref[:, PAD + W2, :] = jnp.zeros((R + 2, 2 * C), cd)
 
     @pl.when(i == 0)
     def _():
-        xs_ref[0, :, :] = jnp.zeros((W2 + 2, 2 * C), cd)
+        xs_ref[0, pl.ds(PAD - 1, W2 + 2), :] = jnp.zeros((W2 + 2, 2 * C),
+                                                         cd)
 
     @pl.when(i == nb - 1)
     def _():
-        xs_ref[R + 1, :, :] = jnp.zeros((W2 + 2, 2 * C), cd)
+        xs_ref[R + 1, pl.ds(PAD - 1, W2 + 2), :] = jnp.zeros(
+            (W2 + 2, 2 * C), cd)
 
     body.wait()
 
@@ -132,7 +148,7 @@ def _kernel(x_any, bm_ref, bias_ref, ext_ref, out_ref, xs_ref, sems,
     def _():
         pltpu.make_async_copy(
             x_any.at[b, pl.ds(r0 - 1, 1), :, :],
-            xs_ref.at[pl.ds(0, 1), pl.ds(1, W2), :],
+            xs_ref.at[pl.ds(0, 1), pl.ds(PAD, W2), :],
             sems.at[1],
         ).wait()
 
@@ -140,21 +156,27 @@ def _kernel(x_any, bm_ref, bias_ref, ext_ref, out_ref, xs_ref, sems,
     def _():
         pltpu.make_async_copy(
             x_any.at[b, pl.ds(r0 + R, 1), :, :],
-            xs_ref.at[pl.ds(R + 1, 1), pl.ds(1, W2), :],
+            xs_ref.at[pl.ds(R + 1, 1), pl.ds(PAD, W2), :],
             sems.at[2],
         ).wait()
 
-    # --- conv as ONE (R+2)*W2 x 4C x 6C matmul --------------------------
-    # A column layout: [x(2j-1) | x(2j) | x(2j+1) | x(2j+2)] — the
-    # union of the even output's taps (rows 0:3C) and the odd's (C:4C)
-    xw = xs_ref[:]  # (R+2, W2+2, 2C)
-    a = jnp.concatenate(
-        [xw[:, 0:W2, C:2 * C],                 # x(2j-1) = hi(P(j-1))
-         xw[:, 1:W2 + 1, :],                   # x(2j), x(2j+1) = P(j)
-         xw[:, 2:W2 + 2, 0:C]],                # x(2j+2) = lo(P(j+1))
-        axis=2,
-    ).reshape((R + 2) * W2, 4 * C)
-    q = jnp.dot(a, bm_ref[:], preferred_element_type=jnp.float32)
+    # --- conv as THREE (R+2)*W2 x 2C x 6C matmuls -----------------------
+    # The even output of pair j taps x(2j-1), x(2j), x(2j+1); the odd
+    # taps x(2j), x(2j+1), x(2j+2). Rather than concatenating shifted
+    # scratch slices into one 4C-wide A (Mosaic rejects concat of
+    # differently-offset slices), contract the FULL 2C pair vectors
+    # P(j-1), P(j), P(j+1) against zero-padded weight blocks bm_ref =
+    # [Bleft; Bcenter; Bright] (6C, 6C) — identical sums, and every
+    # matmul keeps a >=128-wide contraction dim.
+    xw = xs_ref[:]  # (R+2, PAD + W2 + PAD, 2C)
+    m = (R + 2) * W2
+    c2 = 2 * C
+    q = jnp.dot(xw[:, PAD:PAD + W2, :].reshape(m, c2),
+                bm_ref[c2:2 * c2], preferred_element_type=jnp.float32)
+    q += jnp.dot(xw[:, PAD - 1:PAD - 1 + W2, :].reshape(m, c2),
+                 bm_ref[0:c2], preferred_element_type=jnp.float32)
+    q += jnp.dot(xw[:, PAD + 1:PAD + 1 + W2, :].reshape(m, c2),
+                 bm_ref[2 * c2:3 * c2], preferred_element_type=jnp.float32)
     q = q.reshape(R + 2, W2, 6 * C)
 
     # dy-group combination: Y[t] = Q[t, g0] + Q[t+1, g1] + Q[t+2, g2],
@@ -185,7 +207,20 @@ def _kernel(x_any, bm_ref, bias_ref, ext_ref, out_ref, xs_ref, sems,
     # split a leading dim (no lane/sublane relayout)
     wm = jnp.maximum(ye, yo)                   # (R, W2, C)
     h4 = wm.reshape(R // 2, 2, W2, C)
-    out_ref[0] = jnp.maximum(h4[:, 0], h4[:, 1])
+    pooled = jnp.maximum(h4[:, 0], h4[:, 1])   # (R/2, W2, C)
+
+    # post-pool re-mask at the FLOOR-halved extents, exactly like
+    # apply_trunk after every pool: for odd eh/ew the pooled cell at
+    # floor(e/2) covers a partial window of valid data (e.g. valid row
+    # eh-1) and must not leak into the next conv's edge reads.
+    fh = jnp.floor(eh * 0.5)
+    fw = jnp.floor(ew * 0.5)
+    prows = (jax.lax.broadcasted_iota(jnp.int32, (R // 2, 1, 1), 0)
+             + r0 // 2).astype(jnp.float32)
+    pcols = jax.lax.broadcasted_iota(
+        jnp.int32, (1, W2, 1), 1).astype(jnp.float32)
+    out_ref[0] = jnp.where(
+        jnp.logical_and(prows < fh, pcols < fw), pooled, zero)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -198,21 +233,39 @@ def fused_conv_relu_pool(x, w, b, ext, *, interpret=False):
     (pass (H, W) rows for unmasked images).
     """
     N, H, W, C = x.shape
-    assert can_fuse(x.shape, w.shape), (x.shape, w.shape)
+    if not can_fuse(x.shape, w.shape):
+        # explicit raise (not assert: stripped under python -O) so
+        # out-of-contract shapes fail loudly at trace time instead of
+        # hitting wrong reshapes or opaque Mosaic errors
+        raise ValueError(
+            "fused_conv_relu_pool unsupported geometry: x%s w%s "
+            "(need 3x3 CxC conv, C in {64,128}, H %% %d == 0, W even, "
+            "C*W <= %d)" % (x.shape, w.shape, R, _MAX_CW))
     cd = x.dtype
     W2 = W // 2
     c3 = 3 * C
     # the paired view: a byte-level no-op in row-major HBM
     xp = x.reshape(N, H, W2, 2 * C)
-    # Bold[(dx*C + ci), (dy*C + co)] = W[dy, dx, ci, co]. The kernel's A
-    # is [x(2j-1) | x(2j) | x(2j+1) | x(2j+2)], so the even output's
-    # three dx taps are A rows [0:3C] and the odd's are [C:4C]:
-    #   Beven = [bold; 0], Bodd = [0; bold], B2 = [Beven | Bodd]
+    # Bold[(dx*C + ci), (dy*C + co)] = W[dy, dx, ci, co]. Conceptually
+    # the conv contracts A = [x(2j-1) | x(2j) | x(2j+1) | x(2j+2)]
+    # against B2 = [[bold; 0] | [0; bold]] (4C, 6C); the kernel instead
+    # contracts the three FULL pair vectors P(j-1), P(j), P(j+1) (2C
+    # each) against zero-padded row blocks of B2 stacked into bm
+    # (6C, 6C) — x(2j-2) and x(2j+3) rows are zero:
+    #   Bleft   = [0;        B2[0:C]]     (hi of P(j-1) = x(2j-1))
+    #   Bcenter = B2[C:3C]                (P(j) = x(2j), x(2j+1))
+    #   Bright  = [B2[3C:4C]; 0]          (lo of P(j+1) = x(2j+2))
     bold = jnp.transpose(w.astype(cd), (1, 2, 0, 3)).reshape(c3, c3)
     zc = jnp.zeros((C, c3), cd)
     beven = jnp.concatenate([bold, zc], axis=0)      # (4C, 3C)
     bodd = jnp.concatenate([zc, bold], axis=0)       # (4C, 3C)
-    bm = jnp.concatenate([beven, bodd], axis=1)      # (4C, 6C)
+    b2 = jnp.concatenate([beven, bodd], axis=1)      # (4C, 6C)
+    z6 = jnp.zeros((C, 6 * C), cd)
+    bm = jnp.concatenate([
+        z6, b2[0:C],                                 # Bleft   (2C, 6C)
+        b2[C:3 * C],                                 # Bcenter (2C, 6C)
+        b2[3 * C:4 * C], z6,                         # Bright  (2C, 6C)
+    ], axis=0)                                       # (6C, 6C)
     bias = b.astype(cd).reshape(1, C)
     ext = jnp.asarray(ext, jnp.float32).reshape(N, 2)
 
@@ -221,7 +274,7 @@ def fused_conv_relu_pool(x, w, b, ext, *, interpret=False):
         kernel,
         grid=(N, H // R),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # xp stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bm (4C, 6C)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, C)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # ext (N, 2)
@@ -233,7 +286,9 @@ def fused_conv_relu_pool(x, w, b, ext, *, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((N, H // 2, W2, C), cd),
         scratch_shapes=[
-            pltpu.VMEM((R + 2, W2 + 2, 2 * C), cd),
+            # PAD(8) | W2 body | zero col + tile-rounding slack: DMA
+            # destinations stay sublane-tile-aligned (see _kernel)
+            pltpu.VMEM((R + 2, W2 + 16, 2 * C), cd),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

@@ -21,9 +21,9 @@ Semantics preserved from the reference:
   * num_pos = min(batch_size/2, total_pos); num_neg = batch_size -
     num_pos (BoxSampler.lua:136-137). Positives are sampled uniformly
     WITHOUT replacement; negatives without replacement unless there are
-    too few, in which case they repeat (the reference samples WITH
-    replacement there, BoxSampler.lua:145-152 — we cycle the
-    without-replacement draw, which has the same support).
+    too few, in which case ALL negative slots are redrawn iid WITH
+    replacement — the reference's exact torch.multinomial(ones,
+    num_neg, true) distribution (BoxSampler.lua:145-152).
 
 Fixed-shape encoding: P = batch_size/2 positive slots and M = batch_size
 negative slots are always materialized; `pos_valid[k] = k < num_pos` and
@@ -205,7 +205,7 @@ def sample_rois(
         candidate_mask=candidate_mask,
     )
 
-    kp, kn = jax.random.split(key)
+    kp, kn, kr = jax.random.split(key, 3)
     if debug_pos_sample_idx is not None:
         pos_idx = _nth_true_index(pos_mask, debug_pos_sample_idx)
         total_pos = jnp.sum(pos_mask.astype(jnp.int32))
@@ -219,6 +219,20 @@ def sample_rois(
 
     num_pos = jnp.minimum(P, total_pos)
     num_neg = batch_size - num_pos
+
+    if debug_neg_sample_idx is None:
+        # Scarce-negative fallback, matching the reference EXACTLY:
+        # when total_neg < num_neg the reference redraws ALL num_neg
+        # negatives iid WITH replacement (torch.multinomial(ones,
+        # num_neg, true), BoxSampler.lua:145-152) — not "unique ones
+        # plus repeats". The gumbel top-k prefix is a uniform random
+        # permutation of the whole eligible set whenever total_neg <
+        # num_neg <= M, so iid uniform ordinals into that prefix are
+        # iid uniform draws over the eligible set.
+        neg_replace = total_neg < num_neg
+        iid = jax.random.randint(kr, (M,), 0,
+                                 jnp.maximum(total_neg, 1))
+        neg_idx = jnp.where(neg_replace, neg_idx[iid], neg_idx)
 
     slotP = jnp.arange(P, dtype=jnp.int32)
     slotM = jnp.arange(M, dtype=jnp.int32)

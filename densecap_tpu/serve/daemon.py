@@ -28,9 +28,11 @@ def main(argv=None):
     p.add_argument("--max_boxes", type=int, default=50)
     p.add_argument("--poll_interval", type=float, default=0.05,
                    help="seconds between directory scans (daemon.lua:102)")
-    from ..cli._common import add_quantize_flag, maybe_quantize
+    from ..cli._common import (add_quantize_flag, maybe_quantize,
+                               setup_compilation_cache)
     add_quantize_flag(p)
     args = p.parse_args(argv)
+    setup_compilation_cache()
 
     from ..config import DenseCapConfig
     from ..utils import checkpoint as ckpt

@@ -114,6 +114,10 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=480,
                    help="reference demo uses 480px for latency")
     p.add_argument("--num_proposals", type=int, default=50)
+    p.add_argument("--pre_nms_topk", type=int, default=6000,
+                   help="NMS scans only the top-K scored anchors "
+                        "(-1 = all; 2000 is a measured fast-serving "
+                        "mode, doc/BENCH.md serving-modes table)")
     p.add_argument("--max_boxes", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=1,
                    help="micro-batch concurrent requests into one "
@@ -125,9 +129,10 @@ def main(argv=None):
                    help="enable TLS (browser webcam needs HTTPS off "
                         "localhost)")
     p.add_argument("--keyfile", default="")
-    from ..cli._common import add_quantize_flag
+    from ..cli._common import add_quantize_flag, setup_compilation_cache
     add_quantize_flag(p)
     args = p.parse_args(argv)
+    setup_compilation_cache()
 
     from ..config import DenseCapConfig
     from ..utils import checkpoint as ckpt
@@ -151,6 +156,7 @@ def main(argv=None):
     cfg = cfg.replace(
         image_size=args.image_size,
         test_max_proposals=args.num_proposals,
+        test_pre_nms_topk=args.pre_nms_topk,
         roi_align_impl=resolve_roi_impl(-1, cfg),
     )
     mesh = None

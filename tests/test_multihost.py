@@ -10,6 +10,7 @@ that both processes compute the identical loss.
 
 import os
 import socket
+import pytest
 import subprocess
 import sys
 import textwrap
@@ -158,6 +159,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_train_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
@@ -197,6 +199,7 @@ def test_two_process_train_step(tmp_path):
     assert results[0][1] == results[0][1]  # finite (not NaN)
 
 
+@pytest.mark.slow
 def test_two_process_bucketed_train(tmp_path):
     """Canvas buckets under multi-host (VERDICT-2 #9): both processes
     derive the identical bucket schedule from shared metadata, so the

@@ -229,3 +229,46 @@ def test_sampler_batch_size_exceeding_candidates():
     neg_sel = out.neg_input_idx[out.neg_valid]
     assert int(out.num_pos) >= 1
     assert neg_sel.shape[0] == int(out.num_neg)
+
+
+def test_scarce_negative_fallback_is_iid_with_replacement():
+    """When total_neg < num_neg the reference redraws ALL negatives iid
+    WITH replacement (torch.multinomial(ones, num_neg, true),
+    BoxSampler.lua:145-152). Three checks over many keys: (1) every
+    eligible negative is reachable with ~uniform marginal frequency,
+    (2) neg_replaced flags the regime, (3) per-trial counts have the
+    multinomial's variance — a cycling fallback would pin every
+    candidate's count to floor/ceil(num_neg/total_neg), so seeing a
+    count outside that band proves independent draws."""
+    # 1 forced positive + 3 negatives, num_neg = 16 - 1 = 15 > 3
+    boxes = jnp.array([
+        [12.0, 12.0, 8.0, 8.0],    # IoU 1 with gt -> positive
+        [40.0, 40.0, 8.0, 8.0],    # negatives (IoU 0)
+        [60.0, 40.0, 8.0, 8.0],
+        [40.0, 60.0, 8.0, 8.0],
+    ])
+    gt = jnp.array([[12.0, 12.0, 8.0, 8.0]])
+    fn = jax.jit(lambda k: sample_rois(
+        k, boxes, gt, jnp.array([True]), batch_size=16))
+
+    trials = 200
+    counts = np.zeros(4, np.int64)
+    saw_non_cycling_count = False
+    for t in range(trials):
+        out = fn(jax.random.PRNGKey(1000 + t))
+        assert bool(out.neg_replaced)
+        neg = np.asarray(out.neg_input_idx)[np.asarray(out.neg_valid)]
+        assert neg.shape == (15,)
+        assert set(neg.tolist()) <= {1, 2, 3}
+        c = np.bincount(neg, minlength=4)
+        counts += c
+        # cycling would force every eligible count into {5} (15/3);
+        # iid multinomial puts some count outside with p~0.9 per trial
+        if np.any(c[1:] != 5):
+            saw_non_cycling_count = True
+    assert saw_non_cycling_count
+    # uniform marginal: each eligible candidate ~ trials * 5 draws
+    total = counts[1:].sum()
+    freq = counts[1:] / total
+    np.testing.assert_allclose(freq, 1.0 / 3.0, atol=0.03)
+    assert counts[0] == 0  # the positive never appears as a negative

@@ -88,6 +88,7 @@ def test_real_vocab_train_step(model_par):
         np.testing.assert_array_equal(w[:, REAL_VOCAB + 1:], 0.0)
 
 
+@pytest.mark.slow
 def test_tp_matches_unsharded():
     """TP=4 with padding produces the same loss and the same greedy
     captions as the unsharded model."""
@@ -160,6 +161,7 @@ def _vocab_leaf_widths(tree, candidates):
     return widths
 
 
+@pytest.mark.slow
 def test_cross_mesh_resume(tmp_path):
     """Save at model=2, resume at model=4 and model=1 (VERDICT-2 #5):
     checkpoints strip the TP vocab padding on save and re-pad on load,
