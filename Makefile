@@ -1,5 +1,8 @@
 # Convenience targets
 test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+test_all:
 	python -m pytest tests/ -x -q
 
 bench:

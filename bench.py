@@ -98,6 +98,11 @@ def main():
 
     images_per_sec = iters * B / dt
     baseline_fps = 10.0  # reference single-machine demo (50 proposals!)
+    # NOTE: random weights are the decode's WORST case (captions never
+    # END, the early-exit while_loop runs all 15 steps). The same
+    # program on a converged model measures ~13% faster — 141.3 img/s,
+    # scripts/trained_weights_bench.py, doc/BENCH.md trained-weights
+    # table.
     print(json.dumps({
         "metric": "inference_images_per_sec_1000_proposals",
         "value": round(images_per_sec, 3),

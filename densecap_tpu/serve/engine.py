@@ -131,10 +131,15 @@ class InferenceEngine:
             )
 
     def warmup(self):
-        """Compile the forward program. The request timeout is lifted
-        for the duration — first compiles over the dev tunnel take
-        20-400 s, far past any sane serving timeout, and a warmup
-        "timeout" would misread a healthy cold cache as a failure."""
+        """Compile the forward program. With the persistent compile
+        cache every server entry point sets up (cli/_common.py:
+        setup_compilation_cache), only the FIRST-EVER run on a machine
+        pays the real compile (20-400 s over the dev tunnel); process
+        restarts reload from /tmp/jax_cache in seconds (measured: 2m57s
+        cold vs 31s warm for the inference CLI, doc/BENCH.md). The
+        request timeout is still lifted for the duration as the
+        first-ever-run backstop — a warmup "timeout" would misread a
+        healthy cold cache as a failure."""
         S = self.cfg.image_size
         saved = self.request_timeout
         self.request_timeout = max(saved, 1800.0)

@@ -164,7 +164,8 @@ def main():
     va = make_scenes(args.n_val, seed=777)
     results = {}
     boxes_by_k = {}
-    for topk in (-1, 6000, 2000):
+    sweep = (6000, 5000, 4000, 3000, 2000)
+    for topk in (-1,) + sweep:
         t0 = time.time()
         res, boxes = evaluate(params, va, topk)
         results[topk] = res
@@ -174,7 +175,7 @@ def main():
               flush=True)
 
     exact = boxes_by_k[-1]
-    for topk in (6000, 2000):
+    for topk in sweep:
         ov = np.mean([survivor_overlap(exact[i], boxes_by_k[topk][i])
                       for i in range(len(exact))])
         dmap = results[topk]["map"] - results[-1]["map"]
