@@ -221,6 +221,13 @@ def main(argv=None):
     # switch point recompiles exactly once.
     if not bool(state.finetune_cnn):
         cfg = cfg.replace(static_freeze_cnn=True)
+        # rebuild with the conv2 zone's no-op transform (same opt_state
+        # pytree — make_optimizer shares adam's init — so the state
+        # built/resumed above is untouched); drops the zone's pointless
+        # m/v adam traffic from the frozen-phase program
+        tx = ts.make_optimizer(
+            cfg, learning_rate=lr, beta1=args.optim_beta1,
+            beta2=args.optim_beta2, eps=args.optim_epsilon)
 
     if args.canvas_buckets:
         from ..data.loader import BucketedLoader
@@ -286,6 +293,15 @@ def main(argv=None):
                 and not bool(state.finetune_cnn)):
             state = state._replace(finetune_cnn=jnp.ones((), bool))
             cfg = cfg.replace(static_freeze_cnn=False)
+            # swap the conv2 zone's no-op transform back to live adam;
+            # the opt_state pytree is shared between the two (see
+            # make_optimizer), so the existing state carries over and
+            # conv2's adam starts from m = v = 0 exactly like the
+            # reference's lazily-created cnn optim state
+            # (train.lua:114-130)
+            tx = ts.make_optimizer(
+                cfg, learning_rate=lr, beta1=args.optim_beta1,
+                beta2=args.optim_beta2, eps=args.optim_epsilon)
             print("enabling CNN finetuning (one-time recompile with the "
                   "trunk back in the backward graph)")
 

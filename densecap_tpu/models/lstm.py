@@ -149,7 +149,18 @@ def forward_train(params, image_vectors, gt_seq, cfg: LMConfig,
         h2, c2 = _lstm_step(params["lstm"], h, c, x_t, compute_dtype)
         return (h2, c2), h2
 
-    (_, _), hs = lax.scan(step, (h0, c0), jnp.swapaxes(xs, 0, 1))
+    # Fully unrolled: T+2 <= 17 steps of (P, 512) matmuls are tiny and
+    # the scan's per-step backward overhead dominates in isolation —
+    # measured at the flagship train shape (1024 x 17) the unrolled
+    # fwd+bwd runs 7.3 ms vs 10.0 ms rolled, while in the FULL train
+    # step the difference hides behind XLA's cross-stage overlap and
+    # the end-to-end delta is ~0 (doc/BENCH.md train-step profile).
+    # Kept because it is free, identical math per step, and the
+    # isolated win applies wherever the LM is the critical path.
+    # (Hoisting x @ Wx out of the loop was also tried and LOSES badly
+    # in the backward: 21.2 ms.)
+    (_, _), hs = lax.scan(step, (h0, c0), jnp.swapaxes(xs, 0, 1),
+                          unroll=xs.shape[1])
     hs = jnp.swapaxes(hs, 0, 1)                       # (P, T+2, H)
     return _project(params, hs, compute_dtype)
 

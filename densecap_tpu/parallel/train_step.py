@@ -52,10 +52,32 @@ def param_zones(params):
 
 def make_optimizer(cfg: DenseCapConfig, learning_rate=1e-5, beta1=0.9,
                    beta2=0.999, eps=1e-8):
-    """Reference defaults: train_opts.lua:56-59."""
+    """Reference defaults: train_opts.lua:56-59.
+
+    With cfg.static_freeze_cnn the conv2 ('cnn') zone gets a no-op
+    transform that SHARES adam's init (identical opt_state pytree), so
+    the finetune switch can rebuild the optimizer without touching the
+    state — while frozen, XLA deletes the zone's entire m/v
+    read-modify-write (isolated optimizer stage 5.2 -> 2.8 ms/step at
+    flagship B=8; the full-step delta is ~0 because the update traffic
+    already overlaps the backward — doc/BENCH.md train-step profile).
+    Numerics are identical either way: conv2 grads are zero
+    pre-finetune, so adam's moments stayed zero too; and the fresh
+    m = v = 0, count = 0 at the switch is exactly the reference, which
+    creates its cnn adam state lazily at the first finetune step
+    (train.lua:114-130).
+    """
     adam = optax.adam(learning_rate, b1=beta1, b2=beta2, eps=eps)
+    if cfg.static_freeze_cnn:
+        cnn_tx = optax.GradientTransformation(
+            adam.init,
+            lambda updates, state, params=None: (
+                jax.tree_util.tree_map(jnp.zeros_like, updates), state),
+        )
+    else:
+        cnn_tx = adam
     tx = optax.multi_transform(
-        {"frozen": optax.set_to_zero(), "cnn": adam, "main": adam},
+        {"frozen": optax.set_to_zero(), "cnn": cnn_tx, "main": adam},
         param_zones,
     )
     return tx

@@ -179,6 +179,45 @@ def test_static_freeze_cnn_cuts_backward_flops():
     assert frozen < 0.9 * dense, (frozen, dense)
 
 
+def test_finetune_switch_swaps_optimizer_without_state_rebuild():
+    """The frozen-phase optimizer (no-op conv2 transform) and the live
+    one share the SAME opt_state pytree, so cli/train.py's finetune flip
+    rebuilds only `tx` and keeps the state. Verify: identical state
+    treedefs, frozen steps leave conv2 m/v and params untouched, and
+    the post-flip step trains conv2 starting from m = v = 0 (the
+    reference's lazily-created cnn adam state, train.lua:114-130)."""
+    cfg_f = TINY.replace(static_freeze_cnn=True)
+    state, tx_frozen = ts.init_state(jax.random.PRNGKey(0), cfg_f,
+                                     learning_rate=1e-3)
+    _, tx_live = ts.init_state(jax.random.PRNGKey(0), TINY,
+                               learning_rate=1e-3)
+    treedef_f = jax.tree_util.tree_structure(tx_frozen.init(state.params))
+    treedef_l = jax.tree_util.tree_structure(tx_live.init(state.params))
+    assert treedef_f == treedef_l
+
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    for _ in range(2):
+        state, _ = ts.train_step(state, batch, rng, cfg_f, tx_frozen)
+    flat = jax.tree_util.tree_leaves_with_path(state.opt_state)
+    cnn_mv = [np.asarray(v) for path, v in flat
+              if "cnn" in jax.tree_util.keystr(path)
+              and v.ndim > 0]
+    assert cnn_mv and all(float(np.abs(m).sum()) == 0 for m in cnn_mv)
+
+    # flip: same opt_state, live tx, finetune scalar on, unfrozen cfg
+    state = state._replace(finetune_cnn=jnp.ones((), bool))
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, losses = ts.train_step(state, batch, rng, TINY, tx_live)
+    assert np.isfinite(float(losses["total_loss"]))
+    moved = sum(
+        float(np.abs(np.asarray(a) - b).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["trunk2"]),
+                        jax.tree_util.tree_leaves(p0["trunk2"]))
+    )
+    assert moved > 0
+
+
 def test_mxu_roi_train_step_matches_gather():
     """The TPU train default (roi_align_impl='mxu', cli/train.py
     --roi_align auto) must compute the same losses as the gather path
