@@ -133,6 +133,32 @@ def test_nms_jit_and_all_invalid():
     assert not np.asarray(ov).any()
 
 
+def test_nms_survivor_buffer_overflow_exact():
+    """The pull-based sweep keeps survivors in a (K + T)-slot buffer and
+    DROPS appends once it holds K (output already finalized). Mix dense
+    clusters (real suppression chains) with spread boxes (fast survivor
+    accumulation) at small K and small tiles so the buffer overflows
+    while suppression is still active — picks must stay exactly greedy."""
+    rng = np.random.RandomState(23)
+    n = 500
+    dense_xy = rng.uniform(1, 80, size=(n // 2, 2))
+    dense_wh = rng.uniform(10, 50, size=(n // 2, 2))
+    spread_xy = rng.uniform(1, 8000, size=(n - n // 2, 2))
+    spread_wh = rng.uniform(5, 25, size=(n - n // 2, 2))
+    xy = np.concatenate([dense_xy, spread_xy])
+    wh = np.concatenate([dense_wh, spread_wh])
+    scores = rng.permutation(n).astype(np.float64)
+    bs = np.concatenate([xy, xy + wh, scores[:, None]], axis=1)
+    for thresh in (0.3, 0.6):
+        for k in (8, 40):
+            idx, valid = nms(jnp.asarray(bs[:, :4]),
+                             jnp.asarray(bs[:, 4]),
+                             thresh, k, tile_size=32)
+            ref = _numpy_greedy(bs, thresh, k)
+            got = np.asarray(idx)[np.asarray(valid)].tolist()
+            assert got == ref, (thresh, k)
+
+
 def test_nms_early_exit_matches_full_sweep(monkeypatch):
     """K << N forces the sweep's early exit (prefix survivors >= K
     after few tiles); the first-K output must equal the numpy greedy
