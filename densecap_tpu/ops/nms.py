@@ -66,7 +66,7 @@ def _pad_to_multiple(x, multiple, axis, value):
     return jnp.pad(x, pad, constant_values=value)
 
 
-def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=128):
+def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=256):
     """Greedy NMS with fixed output size.
 
     Args:
@@ -78,7 +78,12 @@ def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=128):
       valid: optional (N,) bool; invalid boxes can neither be kept nor
         suppress anything (replaces the reference's dynamic-compaction
         of clipped boxes, LocalizationLayer.lua:285-298).
-      tile_size: static tile width for the suppression sweep.
+      tile_size: static tile width for the suppression sweep. The 256
+        default is the measured optimum for the pull-based sweep at
+        both shipping shapes (B=8 vmapped, K=1000: 4.5 -> 3.7 ms at
+        N=6000, 14.3 -> 11.1 ms at N=24300 vs tile 128; full-program
+        65.7 -> 64.0 ms / 72.6 -> 69.5 ms — doc/BENCH.md round-4 NMS
+        section).
 
     Returns:
       idx: (K,) int32 indices into the input arrays, in decreasing score
