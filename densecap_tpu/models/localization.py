@@ -234,12 +234,22 @@ def localize_test(
     pre_k = cfg.test_pre_nms_topk
     if 0 < pre_k < boxes.shape[0]:
         masked = jnp.where(valid, probs, -jnp.inf)
-        top_scores, top_idx = jax.lax.top_k(masked, pre_k)
+        # full sort_key_val + slice instead of lax.top_k: measured 1.46
+        # vs 1.94 ms at B=8 x 24300 -> 6000 on v5e (doc/BENCH.md); both
+        # are stable (ties in original-index order), identical output.
+        neg_sorted, sorted_idx = jax.lax.sort_key_val(
+            -masked, jnp.arange(masked.shape[0], dtype=jnp.int32))
+        top_scores = -neg_sorted[:pre_k]
+        top_idx = sorted_idx[:pre_k]
         nms_boxes = boxes[top_idx]
         nms_valid = top_scores > -jnp.inf
+        # descending-sorted with invalid (-inf) at the tail -> the exact
+        # NMS can skip its internal re-sort (presorted); the Pallas
+        # variant has no such knob and re-sorts
+        kw = {} if cfg.use_pallas_nms else {"presorted": True}
         sub_idx, roi_valid = nms_fn(
             xcycwh_to_x1y1x2y2(nms_boxes), top_scores, nms_thresh, K,
-            valid=nms_valid,
+            valid=nms_valid, **kw,
         )
         idx = top_idx[sub_idx]
     else:

@@ -66,14 +66,15 @@ def _pad_to_multiple(x, multiple, axis, value):
     return jnp.pad(x, pad, constant_values=value)
 
 
-def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=256):
+def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=256,
+        presorted=False):
     """Greedy NMS with fixed output size.
 
     Args:
       boxes: (N, 4) float, x1y1x2y2 (1-indexed inclusive pixels).
       scores: (N,) float.
       iou_thresh: scalar; boxes with IoU > iou_thresh to a kept
-        higher-scored box are suppressed (pascal +1 IoU).
+        higher-scored box is suppressed (pascal +1 IoU).
       max_out: static int K, number of output slots.
       valid: optional (N,) bool; invalid boxes can neither be kept nor
         suppress anything (replaces the reference's dynamic-compaction
@@ -84,6 +85,12 @@ def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=256):
         N=6000, 14.3 -> 11.1 ms at N=24300 vs tile 128; full-program
         65.7 -> 64.0 ms / 72.6 -> 69.5 ms — doc/BENCH.md round-4 NMS
         section).
+      presorted: the caller guarantees `scores` are already in
+        descending order with stable (original-index) tie order and all
+        invalid entries at the tail — e.g. the output of lax.top_k /
+        lax.sort_key_val in the pre-NMS top-k path. Skips the internal
+        argsort, which a TPU bitonic sort charges in full even on
+        sorted input (measured 1.4 ms at B=8 x 6000, doc/BENCH.md).
 
     Returns:
       idx: (K,) int32 indices into the input arrays, in decreasing score
@@ -95,10 +102,15 @@ def nms(boxes, scores, iou_thresh, max_out, valid=None, tile_size=256):
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
 
-    masked_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores)  # descending, stable
-    sboxes = boxes[order].astype(jnp.float32)
-    svalid = masked_scores[order] > NEG_INF / 2
+    if presorted:
+        order = jnp.arange(N, dtype=jnp.int32)
+        sboxes = boxes.astype(jnp.float32)
+        svalid = valid
+    else:
+        masked_scores = jnp.where(valid, scores, NEG_INF)
+        order = jnp.argsort(-masked_scores)  # descending, stable
+        sboxes = boxes[order].astype(jnp.float32)
+        svalid = masked_scores[order] > NEG_INF / 2
 
     sboxes = _pad_to_multiple(sboxes, T, 0, 0.0)
     svalid = _pad_to_multiple(svalid, T, 0, False)

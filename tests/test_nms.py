@@ -159,6 +159,30 @@ def test_nms_survivor_buffer_overflow_exact():
             assert got == ref, (thresh, k)
 
 
+def test_nms_presorted_matches_default():
+    """presorted=True (the pre-NMS top-k fast path: descending scores,
+    invalid at the tail) must produce exactly the default path's picks,
+    mapped through the sort permutation."""
+    rng = np.random.RandomState(31)
+    n = 300
+    xy = rng.uniform(1, 90, size=(n, 2))
+    wh = rng.uniform(5, 55, size=(n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.permutation(n).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    masked = np.where(valid, scores, -np.inf)
+    order = np.argsort(-masked, kind="stable")
+    sb, ss, sv = boxes[order], masked[order], np.isfinite(masked[order])
+    for k in (20, 120):
+        idx_d, val_d = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                           0.5, k, valid=jnp.asarray(valid))
+        idx_p, val_p = nms(jnp.asarray(sb), jnp.asarray(ss), 0.5, k,
+                           valid=jnp.asarray(sv), presorted=True)
+        got_d = np.asarray(idx_d)[np.asarray(val_d)]
+        got_p = order[np.asarray(idx_p)[np.asarray(val_p)]]
+        np.testing.assert_array_equal(got_d, got_p)
+
+
 def test_nms_early_exit_matches_full_sweep(monkeypatch):
     """K << N forces the sweep's early exit (prefix survivors >= K
     after few tiles); the first-K output must equal the numpy greedy
