@@ -164,6 +164,15 @@ def roi_align_mxu(feats, boxes, img_h, img_w, out_h=7, out_w=7,
         feats = feats.astype(compute_dtype)
     rows = jnp.einsum("bph,hwc->bpwc", Ry, feats,
                       preferred_element_type=jnp.float32)
+    if compute_dtype is not None:
+        # The (B, out_h, Wf, C) intermediate is the dominant HBM traffic
+        # of this op (flagship: 8 x 1000 x 7 x 45 x 512). Keep it in the
+        # compute dtype: the second MXU contraction takes bf16 operands
+        # anyway, so XLA rounds `rows` to bf16 at its input regardless —
+        # materializing it f32 only doubled the bytes. Measured 13.7 ->
+        # 10.4 ms/step isolated at B=8 x 1000 with BIT-IDENTICAL output
+        # (doc/BENCH.md). The f32 path (training) is untouched.
+        rows = rows.astype(compute_dtype)
     out = jnp.einsum("bqw,bpwc->bpqc", Rx, rows,
                      preferred_element_type=jnp.float32)
     return out
