@@ -84,18 +84,26 @@ def main():
         jax.vmap(xcycwh_to_x1y1x2y2)(rpn_out.boxes))
     N = probs.shape[-1]
 
-    timeit(f"top-{cfg.test_pre_nms_topk} pre-select B=8",
-           lambda s_, salt: jax.vmap(
-               lambda s: lax.top_k(s, cfg.test_pre_nms_topk))(s_ + salt),
-           probs)
     pre = cfg.test_pre_nms_topk
-    idx = jax.vmap(lambda s: lax.top_k(s, pre)[1])(probs)
+    N_all = probs.shape[-1]
+
+    def preselect(s):
+        # the shipping pre-select (localization.py): full sort_key_val +
+        # slice — measured faster than lax.top_k (doc/BENCH.md round 4)
+        neg, sidx = lax.sort_key_val(
+            -s, jnp.arange(N_all, dtype=jnp.int32))
+        return -neg[:pre], sidx[:pre]
+
+    timeit(f"top-{pre} pre-select B=8 (sort_key_val)",
+           lambda s_, salt: jax.vmap(preselect)(s_ + salt), probs)
+    px, idx = jax.vmap(preselect)(probs)
     bx = jax.device_put(jnp.take_along_axis(
         boxes_xyxy, idx[..., None], axis=1))
-    px = jax.device_put(jnp.take_along_axis(probs, idx, axis=1))
-    timeit(f"nms {pre}->1000 B=8",
+    px = jax.device_put(px)
+    timeit(f"nms {pre}->1000 B=8 (pull, presorted)",
            lambda b, p, s: jax.vmap(
-               lambda bb, pp: nms(bb, pp, 0.7, 1000))(b + s, p),
+               lambda bb, pp: nms(bb, pp, 0.7, 1000, presorted=True)
+           )(b + s, p),
            bx, px)
 
     from densecap_tpu.models.localization import localize_test
