@@ -31,24 +31,33 @@ S = 720
 L = 3
 
 
-def make_scenes(n, seed, G):
+def make_scenes(n, seed, G, canvas_h=S, canvas_w=S, content_w=None):
+    """Scenes on a (canvas_h, canvas_w) canvas; content fills
+    (canvas_h, content_w) with the canvas zero-padded beyond it —
+    the train-time analogue of the inference canvas buckets
+    (e.g. 720x544 canvas, 720x540 4:3 content)."""
+    if content_w is None:
+        content_w = canvas_w
     rng = np.random.RandomState(seed)
-    images = np.zeros((n, S, S, 3), np.float32)
+    images = np.zeros((n, canvas_h, canvas_w, 3), np.float32)
     gt_boxes = np.zeros((n, G, 4), np.float32)
     gt_labels = np.zeros((n, G, L), np.int32)
     gt_valid = np.zeros((n, G), bool)
     for i in range(n):
-        img = rng.uniform(90, 130, (S, S, 3)).astype(np.float32)
+        img = rng.uniform(90, 130, (canvas_h, content_w, 3)).astype(
+            np.float32)
         for b in range(rng.randint(2, 4)):
             ci = rng.randint(len(COLORS))
-            w, h = rng.randint(60, 300, 2)
-            x = rng.randint(1, S - w - 1)
-            y = rng.randint(1, S - h - 1)
+            w = rng.randint(60, min(300, content_w - 3))
+            h = rng.randint(60, 300)
+            x = rng.randint(1, content_w - w - 1)
+            y = rng.randint(1, canvas_h - h - 1)
             img[y:y + h, x:x + w] = list(COLORS.values())[ci]
             gt_boxes[i, b] = [x + w / 2.0, y + h / 2.0, w, h]
             gt_labels[i, b, :2] = [ci + 2, 1]
             gt_valid[i, b] = True
-        images[i] = img[:, :, ::-1] - np.array([103.9, 116.8, 123.7])
+        images[i, :, :content_w] = (
+            img[:, :, ::-1] - np.array([103.9, 116.8, 123.7]))
     return images, gt_boxes, gt_labels, gt_valid
 
 
@@ -59,6 +68,10 @@ def main():
     ap.add_argument("--finetune", action="store_true")
     ap.add_argument("--roi_align", default="mxu",
                     choices=["gather", "mxu"])
+    ap.add_argument("--canvas", default=None,
+                    help="HxW canvas bucket with 4:3 content, e.g. "
+                         "720x544 (content 720x540) — the inference "
+                         "bench geometry; default: square full-width")
     ap.add_argument("--max_gt_boxes", type=int, default=128,
                     help="gt padding slots; 128 is the SHIPPING config "
                          "(data/loader.py default) — headline numbers "
@@ -75,7 +88,14 @@ def main():
         roi_align_impl=args.roi_align,
     )
     n_train = 48
-    tr = make_scenes(n_train, seed=0, G=G)
+    if args.canvas:
+        ch, cw = (int(v) for v in args.canvas.split("x"))
+        content_w = int(round(ch * 0.75))
+        assert content_w <= cw, (ch, cw)
+    else:
+        ch = cw = content_w = S
+    tr = make_scenes(n_train, seed=0, G=G, canvas_h=ch, canvas_w=cw,
+                     content_w=content_w)
     tr_imgs = jax.device_put(jnp.asarray(tr[0]))
     lr = optax.cosine_decay_schedule(3e-4, args.steps, alpha=0.05)
     state, tx = ts.init_state(jax.random.PRNGKey(0), cfg,
@@ -83,8 +103,8 @@ def main():
     if args.finetune:
         state = state._replace(finetune_cnn=jnp.ones((), bool))
     B = args.batch
-    hs = jnp.full((B,), float(S))
-    ws = jnp.full((B,), float(S))
+    hs = jnp.full((B,), float(ch))
+    ws = jnp.full((B,), float(content_w))
     rng = jax.random.PRNGKey(1)
 
     # compile outside the timed window
@@ -112,6 +132,7 @@ def main():
     dt = time.time() - t0
     n_imgs = (args.steps - 1) * B
     mode = "finetune-on" if args.finetune else "static-frozen"
+    mode += f", canvas {ch}x{cw}/content {content_w}"
     print(f"SUSTAINED ({mode}, B={B}, G={G}): {n_imgs / dt:.1f} img/s over "
           f"{args.steps - 1} steps incl host; loss {first:.2f} -> "
           f"{last:.2f}")
