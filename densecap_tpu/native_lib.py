@@ -25,7 +25,7 @@ _libs = {}
 # expected ABI of each library (dc<name>_abi_version in the .cpp); a
 # stale .so built before a signature change must never be called with
 # the new argument list — it would misread pointers as ints
-_ABI = {"dcio": 3, "dcgeom": 1}
+_ABI = {"dcio": 4, "dcgeom": 1}
 
 
 def _abi_ok(lib, name):
@@ -160,12 +160,18 @@ def merge_boxes(boxes, thr):
 # dcio
 # ---------------------------------------------------------------------------
 
-def load_batch(paths, canvas_size, mean_bgr, num_threads=8):
+def load_batch(paths, canvas_size, mean_bgr, num_threads=8,
+               fast_dct=False):
     """Decode+preprocess a batch of JPEGs natively (threaded C++).
 
     Returns (canvases (n, S, S, 3) f32 BGR mean-sub zero-padded,
     heights, widths, orig_heights, orig_widths, ok_count). Failed
-    decodes leave zero canvases and zero dims."""
+    decodes leave zero canvases and zero dims.
+
+    fast_dct=True decodes at the smallest DCT-domain M/8 scale whose
+    longest edge still covers the canvas, then bilinear-resizes the
+    rest — ~2x faster ingest on large photos, NOT bit-identical to
+    the exact decode+resize path (extents/box mapping unchanged)."""
     lib = _load("dcio")
     if lib is None:
         raise RuntimeError("libdcio.so unavailable")
@@ -187,6 +193,7 @@ def load_batch(paths, canvas_size, mean_bgr, num_threads=8):
         ohts.ctypes.data_as(ctypes.c_void_p),
         owds.ctypes.data_as(ctypes.c_void_p),
         int(num_threads),
+        int(bool(fast_dct)),
     )
     return canv, hts, wds, ohts, owds, ok
 

@@ -112,6 +112,40 @@ def test_dcio_roundtrip(tmp_path):
     np.testing.assert_array_equal(canv[0], ref_canvas)
 
 
+def test_load_batch_fast_dct(tmp_path):
+    """fast_dct decodes at a DCT-domain scale: same extents/origin dims
+    as the exact path, pixels close but not identical on a downscale,
+    EXACTLY identical when no DCT scaling kicks in (source <= canvas)."""
+    if not native_lib.is_available("dcio"):
+        pytest.skip("libdcio unavailable")
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, (300, 400, 3), np.uint8)
+    yy, xx = np.mgrid[0:300, 0:400]
+    big = ((big // 4) + np.stack([yy % 200, xx % 200, (yy + xx) % 200],
+                                 -1) // 2).astype(np.uint8)
+    pb = str(tmp_path / "big.jpg")
+    Image.fromarray(big).save(pb, quality=92)
+    small = big[:40, :50]
+    ps = str(tmp_path / "small.jpg")
+    Image.fromarray(small).save(ps, quality=92)
+
+    mean = (103.939, 116.779, 123.68)
+    exact = native_lib.load_batch([pb, ps], 64, mean, num_threads=2)
+    fast = native_lib.load_batch([pb, ps], 64, mean, num_threads=2,
+                                 fast_dct=True)
+    assert exact[5] == 2 and fast[5] == 2
+    for k in (1, 2, 3, 4):  # extents + original dims identical
+        np.testing.assert_array_equal(exact[k], fast[k])
+    # big image: 400 -> 64 longest edge => DCT scale 2/8 kicks in;
+    # close but not bit-equal
+    d = np.abs(exact[0][0] - fast[0][0])
+    assert d.max() > 0 and d.mean() < 3.0
+    # small image (50 <= 64): no DCT scaling possible => bit-identical
+    np.testing.assert_array_equal(exact[0][1], fast[0][1])
+
+
 def test_dcio_resize_pil_parity():
     """native resize == PIL BILINEAR bit-for-bit (VERDICT-2 weak #8:
     the old 2-tap resampler was only 'few pixels' close when
@@ -124,6 +158,30 @@ def test_dcio_resize_pil_parity():
     for sh, sw, dh, dw in [(60, 90, 43, 64), (240, 360, 160, 240),
                            (31, 47, 64, 97), (50, 50, 50, 50),
                            (5, 7, 3, 4)]:
+        rgb = rng.randint(0, 256, (sh, sw, 3), dtype=np.uint8)
+        ours = native_lib.resize_rgb(rgb, dh, dw)
+        ref = np.asarray(
+            Image.fromarray(rgb).resize((dw, dh), Image.BILINEAR))
+        np.testing.assert_array_equal(
+            ours, ref, err_msg=f"{sh}x{sw}->{dh}x{dw}")
+
+
+def test_dcio_resize_pil_parity_randomized():
+    """Randomized geometry sweep over the AVX-512 kernel's edge cases:
+    dw % 16 tails, sh=1 (scalar-row-only path), big downscale factors
+    (ksize*3 > gather-window), upscales, and the shipping 720-canvas
+    shapes — all must stay bit-identical to PIL BILINEAR."""
+    if not native_lib.is_available("dcio"):
+        pytest.skip("libdcio unavailable")
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    cases = [(1, 37, 1, 16), (2, 33, 5, 17), (720, 33, 720, 32),
+             (1080, 1620, 480, 720), (383, 511, 720, 960),
+             (2500, 3000, 600, 720), (16, 16, 16, 16), (3, 3, 9, 9)]
+    for _ in range(10):
+        cases.append(tuple(int(v) for v in rng.randint(1, 300, 4)))
+    for sh, sw, dh, dw in cases:
         rgb = rng.randint(0, 256, (sh, sw, 3), dtype=np.uint8)
         ours = native_lib.resize_rgb(rgb, dh, dw)
         ref = np.asarray(
