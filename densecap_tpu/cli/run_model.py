@@ -204,6 +204,12 @@ def main(argv=None):
         from .. import native_lib
 
         use_native = native_lib.is_available("dcio")
+    if args.fast_io and not use_native:
+        import sys
+
+        print("warning: --fast_io requires the native decode path "
+              "(--native_io with libdcio present, --input_dir, JPEG "
+              "inputs); ignored on the PIL fallback", file=sys.stderr)
 
     def inputs():
         """Yields (path, canvas, h, w, scale)."""

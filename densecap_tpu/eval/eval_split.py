@@ -99,12 +99,20 @@ def eval_split(params, loader, cfg, split=1, max_images=-1, id="",
             )
 
     if batch_size > 1:
+        # The tail runs as its own SMALLER program instead of repeat-
+        # padding to the full batch (which duplicated up to B-1 images
+        # of device work on the val-every-N path): pad only up to the
+        # mesh data-axis multiple. One extra compiled shape per split
+        # size, cached by jit (and the persistent compile cache).
+        data_par = mesh.shape["data"] if batch_shard is not None else 1
         done = 0
         while done < n_images:
+            n_real = min(batch_size, n_images - done)
+            prog_b = min(batch_size,
+                         -(-n_real // data_par) * data_par)
             exs = [loader.get_example(split=split, iterate=True)
-                   for _ in range(min(batch_size, n_images - done))]
-            n_real = len(exs)
-            while len(exs) < batch_size:  # pad the tail batch
+                   for _ in range(n_real)]
+            while len(exs) < prog_b:  # pad to the data-axis multiple
                 exs.append(exs[-1])
             ims = np.stack([e["image"] for e in exs])
             hs = jnp.asarray(np.asarray([e["height"] for e in exs],

@@ -261,7 +261,8 @@ def sample_with_logprobs(params, image_vectors, cfg: LMConfig,
 
 
 def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
-               compute_dtype=jnp.float32, return_logprobs=False):
+               compute_dtype=jnp.float32, return_logprobs=False,
+               early_exit=True):
     """Batched beam search (LanguageModel.lua:170-290).
 
     The reference runs one image at a time, using the minibatch dim for
@@ -269,9 +270,21 @@ def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
     Matches the reference's scoring quirk: once a beam emits END, later
     steps contribute 0 logprob (not -inf), LanguageModel.lua:242-245.
 
-    Returns (P, T) int32 tokens; with return_logprobs also the winning
-    beam's per-token logprobs (P, T) f32 (0 past END, per the quirk) —
-    their sum is the beam score.
+    early_exit=True (default) runs the step loop as a while_loop that
+    stops once EVERY beam of EVERY row has emitted END — trained
+    captions average ~6 of T=15 steps, so the fixed-length loop wastes
+    most of beam decode by construction (greedy's measured early exit:
+    +6.94 ms/step). early_exit=False keeps the fixed lax.scan (the
+    original formulation, used as the parity oracle in tests).
+
+    Canonical output convention (same as greedy): a row's tokens AFTER
+    its first END are END, and its logprobs after END are 0 (the
+    reference quirk already zeroes them) — this makes the two loop
+    forms token-EXACT against each other: steps skipped by the early
+    exit only ever rewrite post-END positions, which both forms
+    canonicalize away. Returns (P, T) int32 tokens; with
+    return_logprobs also the winning beam's per-token logprobs (P, T)
+    f32; their sum is the beam score.
     """
     V, T, H = cfg.vocab_size, cfg.seq_length, cfg.rnn_size
     B = beam_size
@@ -299,7 +312,7 @@ def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
     hB = jnp.broadcast_to(h[:, None], (P, B, H)).reshape(P * B, H)
     cB = jnp.broadcast_to(c[:, None], (P, B, H)).reshape(P * B, H)
 
-    def step(carry, t):
+    def step_body(t, carry):
         beams, beam_lp, lp_hist, h, c = carry
         words = lax.dynamic_index_in_dim(
             beams, t - 1, axis=2, keepdims=False)        # (P, B)
@@ -336,15 +349,36 @@ def beamsearch(params, image_vectors, cfg: LMConfig, beam_size=20,
             lp_hist, src_beam[:, :, None], axis=1
         ).at[:, :, t].set(step_lp)
         gather = (src_beam + B * jnp.arange(P)[:, None]).reshape(-1)
-        return (new_beams, new_lp, new_hist,
-                h2[gather], c2[gather]), None
+        return (new_beams, new_lp, new_hist, h2[gather], c2[gather])
 
-    (beams, beam_lp, lp_hist, _, _), _ = lax.scan(
-        step, (beams, beam_lp, lp_hist, hB, cB), jnp.arange(1, T)
-    )
+    if early_exit:
+        def cond(st):
+            t, carry = st
+            return (t < T) & ~jnp.all(jnp.any(carry[0] == END, axis=2))
+
+        def body(st):
+            t, carry = st
+            return t + 1, step_body(t, carry)
+
+        _, (beams, beam_lp, lp_hist, _, _) = lax.while_loop(
+            cond, body,
+            (jnp.ones((), jnp.int32), (beams, beam_lp, lp_hist, hB, cB)),
+        )
+    else:
+        (beams, beam_lp, lp_hist, _, _), _ = lax.scan(
+            lambda c, t: (step_body(t, c), None),
+            (beams, beam_lp, lp_hist, hB, cB), jnp.arange(1, T)
+        )
     best = jnp.argmax(beam_lp, axis=1)                   # (P,)
     seq = jnp.take_along_axis(beams, best[:, None, None], axis=1)[:, 0]
     lps = jnp.take_along_axis(lp_hist, best[:, None, None], axis=1)[:, 0]
+    # canonicalize: END-fill past each row's first END (docstring above)
+    pos = jnp.arange(T)
+    first_end = jnp.argmax(seq == END, axis=1)
+    after = jnp.any(seq == END, axis=1)[:, None] & (
+        pos[None, :] > first_end[:, None])
+    seq = jnp.where(after, END, seq)
+    lps = jnp.where(after, 0.0, lps)
     if return_logprobs:
         return seq, lps
     return seq

@@ -172,6 +172,12 @@ def roi_align_mxu(feats, boxes, img_h, img_w, out_h=7, out_w=7,
         # materializing it f32 only doubled the bytes. Measured 13.7 ->
         # 10.4 ms/step isolated at B=8 x 1000 with BIT-IDENTICAL output
         # (doc/BENCH.md). The f32 path (training) is untouched.
+        # Bit-identity assumes JAX's DEFAULT matmul precision (bf16
+        # operand rounding on TPU); under
+        # jax_default_matmul_precision=float32/highest the old code fed
+        # the contraction an f32 operand, so this cast then trades that
+        # extra precision for the bandwidth win. compute_dtype=None
+        # (the training/full-precision path) skips the cast entirely.
         rows = rows.astype(compute_dtype)
     out = jnp.einsum("bqw,bpwc->bpqc", Rx, rows,
                      preferred_element_type=jnp.float32)

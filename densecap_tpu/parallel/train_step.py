@@ -66,8 +66,18 @@ def make_optimizer(cfg: DenseCapConfig, learning_rate=1e-5, beta1=0.9,
     m = v = 0, count = 0 at the switch is exactly the reference, which
     creates its cnn adam state lazily at the first finetune step
     (train.lua:114-130).
+
+    The learning rate (float or optax schedule) is applied ONCE, outside
+    the zone partition, so all zones share a single schedule count that
+    advances every step. (Applying optax.adam(lr) per zone would leave a
+    frozen zone's schedule count at 0, making conv2 resume at the
+    schedule's peak LR at the finetune flip instead of the current
+    decayed LR — the reference passes the one live LR to every param,
+    optim_updates.lua:56-84.) Per-zone adam bias-correction counts stay
+    per-zone: the cnn zone's count is 0 at the flip, which IS the
+    reference's lazily-created state.
     """
-    adam = optax.adam(learning_rate, b1=beta1, b2=beta2, eps=eps)
+    adam = optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps)
     if cfg.static_freeze_cnn:
         cnn_tx = optax.GradientTransformation(
             adam.init,
@@ -76,9 +86,12 @@ def make_optimizer(cfg: DenseCapConfig, learning_rate=1e-5, beta1=0.9,
         )
     else:
         cnn_tx = adam
-    tx = optax.multi_transform(
-        {"frozen": optax.set_to_zero(), "cnn": cnn_tx, "main": adam},
-        param_zones,
+    tx = optax.chain(
+        optax.multi_transform(
+            {"frozen": optax.set_to_zero(), "cnn": cnn_tx, "main": adam},
+            param_zones,
+        ),
+        optax.scale_by_learning_rate(learning_rate),
     )
     return tx
 

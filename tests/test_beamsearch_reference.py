@@ -84,19 +84,58 @@ def _np_reference_beamsearch(params, image_vector, cfg, beam_size):
     return beams[int(np.argmax(beam_lp))]
 
 
+def _canon(seq, END):
+    """END-fill past the first END — models.lstm's output convention.
+    The reference's post-END positions hold meaningless tie-broken junk
+    (its own consumers stop at END, LanguageModel.lua:360-374)."""
+    seq = np.array(seq)
+    hits = np.nonzero(seq == END)[0]
+    if hits.size:
+        seq[hits[0]:] = END
+    return seq
+
+
 def test_beamsearch_matches_reference_recipe():
     cfg = lstm.LMConfig(vocab_size=17, seq_length=6,
                         input_encoding_size=20, rnn_size=24,
                         image_vector_dim=12)
     params = lstm.init_lm(jax.random.PRNGKey(0), cfg)
     vecs = jax.random.normal(jax.random.PRNGKey(1), (4, 12)) * 2.0
+    END = cfg.vocab_size + 1
 
     for beam in (1, 3, 5):
-        ours = np.asarray(lstm.beamsearch(params, vecs, cfg,
-                                          beam_size=beam))
-        for i in range(4):
-            ref = _np_reference_beamsearch(params, vecs[i], cfg, beam)
-            np.testing.assert_array_equal(
-                ours[i], ref,
-                err_msg=f"beam={beam} image={i}",
-            )
+        for early in (False, True):
+            ours = np.asarray(lstm.beamsearch(params, vecs, cfg,
+                                              beam_size=beam,
+                                              early_exit=early))
+            for i in range(4):
+                ref = _canon(
+                    _np_reference_beamsearch(params, vecs[i], cfg, beam),
+                    END)
+                np.testing.assert_array_equal(
+                    ours[i], ref,
+                    err_msg=f"beam={beam} image={i} early={early}",
+                )
+
+
+def test_beamsearch_early_exit_matches_fixed_scan():
+    """The while_loop early exit must be token- and logprob-exact vs
+    the fixed-length scan, including rows that never emit END and rows
+    finishing at different steps."""
+    cfg = lstm.LMConfig(vocab_size=11, seq_length=8,
+                        input_encoding_size=16, rnn_size=16,
+                        image_vector_dim=10)
+    for seed in range(4):
+        params = lstm.init_lm(jax.random.PRNGKey(seed), cfg)
+        vecs = jax.random.normal(jax.random.PRNGKey(100 + seed),
+                                 (6, 10)) * 3.0
+        for beam in (1, 3):
+            s_f, lp_f = lstm.beamsearch(params, vecs, cfg, beam_size=beam,
+                                        return_logprobs=True,
+                                        early_exit=False)
+            s_e, lp_e = lstm.beamsearch(params, vecs, cfg, beam_size=beam,
+                                        return_logprobs=True,
+                                        early_exit=True)
+            np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_e))
+            np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_e),
+                                       rtol=0, atol=1e-6)

@@ -180,6 +180,28 @@ def test_eval_split_data_parallel_matches_sequential(dataset):
                - dp["ap_results"]["detmap"]) < 1e-6
 
 
+def test_eval_split_dp_tail_pads_to_data_axis_only(dataset):
+    """A split that doesn't divide the batch runs its tail as a SMALLER
+    program (padded only to the mesh data-axis multiple), with no
+    repeated evaluator adds — same scores as the sequential pass."""
+    from densecap_tpu.parallel import mesh as meshlib
+
+    h5_out, json_out = dataset
+    loader = DenseCapLoader(h5_out, json_out, max_gt_boxes=4)
+    cfg = _cfg(loader)
+    params = __import__("densecap_tpu.models.densecap",
+                        fromlist=["densecap"]).init_params(
+        jax.random.PRNGKey(3), cfg)
+    seq = eval_split(params, loader, cfg, split=0, max_images=3,
+                     verbose=False, compute_losses=False)
+    mesh = meshlib.make_mesh(n_devices=2, model_parallel=1)
+    dp = eval_split(params, loader, cfg, split=0, max_images=3,
+                    verbose=False, batch_size=4, mesh=mesh)
+    assert abs(seq["ap_results"]["map"] - dp["ap_results"]["map"]) < 1e-6
+    assert abs(seq["ap_results"]["detmap"]
+               - dp["ap_results"]["detmap"]) < 1e-6
+
+
 def test_eval_split_bucketed_matches_square(dataset):
     """Batched eval on a cropped canvas bucket must reproduce the
     square-canvas results exactly (canvas masking makes the padding

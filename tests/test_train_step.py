@@ -218,6 +218,51 @@ def test_finetune_switch_swaps_optimizer_without_state_rebuild():
     assert moved > 0
 
 
+def test_finetune_switch_with_schedule_resumes_at_decayed_lr():
+    """With a decaying LR schedule, the conv2 zone must resume at the
+    CURRENT decayed LR after the finetune flip, not the schedule's
+    step-0 peak. The schedule count lives once, outside the zone
+    partition, so frozen steps advance it too (the reference passes the
+    single live LR to all params every step, optim_updates.lua:56-84).
+
+    Adam's first nonzero-grad update is exactly lr*sign(g) per element
+    (bias-corrected m/sqrt(v) = g/|g| at count=1), so the max-abs conv2
+    delta at the flip step equals the LR the zone actually saw."""
+    import optax
+
+    lr0, frozen_steps = 1e-3, 3
+    sched = optax.exponential_decay(lr0, transition_steps=1,
+                                    decay_rate=0.5)
+    lr_at_flip = lr0 * 0.5 ** frozen_steps
+
+    cfg_f = TINY.replace(static_freeze_cnn=True)
+    state, tx_frozen = ts.init_state(jax.random.PRNGKey(0), cfg_f,
+                                     learning_rate=sched)
+    _, tx_live = ts.init_state(jax.random.PRNGKey(0), TINY,
+                               learning_rate=sched)
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    for _ in range(frozen_steps):
+        state, _ = ts.train_step(state, batch, rng, cfg_f, tx_frozen)
+
+    # the shared schedule count advanced during the frozen phase
+    counts = [int(v) for path, v in
+              jax.tree_util.tree_leaves_with_path(state.opt_state)
+              if "count" in jax.tree_util.keystr(path) and v.ndim == 0]
+    assert frozen_steps in counts, counts
+
+    state = state._replace(finetune_cnn=jnp.ones((), bool))
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = ts.train_step(state, batch, rng, TINY, tx_live)
+    max_delta = max(
+        float(np.abs(np.asarray(a) - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["trunk2"]),
+                        jax.tree_util.tree_leaves(p0["trunk2"]))
+    )
+    assert 0.8 * lr_at_flip < max_delta < 1.5 * lr_at_flip, (
+        max_delta, lr_at_flip, lr0)
+
+
 def test_mxu_roi_train_step_matches_gather():
     """The TPU train default (roi_align_impl='mxu', cli/train.py
     --roi_align auto) must compute the same losses as the gather path
