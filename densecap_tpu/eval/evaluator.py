@@ -131,6 +131,13 @@ class DenseCaptioningEvaluator:
         return self.n - 1
 
     def evaluate(self, verbose=False):
+        """Vectorized over (records x 35 grid cells): real VG eval scale
+        (~5M records) runs the whole AP grid as a handful of numpy array
+        ops instead of ~175M python-loop iterations. Semantics are
+        unchanged from the reference's per-record loop
+        (eval_utils.lua:251-311); equality vs a direct transliteration
+        of that loop is tested on randomized inputs
+        (tests/test_evaluator.py)."""
         logprobs = np.concatenate(self.all_logprobs) if self.all_logprobs \
             else np.zeros(0)
         blob = meteor.score_captions(self.records)
@@ -140,32 +147,44 @@ class DenseCaptioningEvaluator:
         n = len(order)
         recs = self.records
 
+        # per-record columns, in rank order
+        has_refs = np.array([bool(r["references"]) for r in recs],
+                            dtype=bool)[order]
+        ov = np.array([r["ov"] for r in recs], dtype=np.float64)[order]
+        ok = np.array([r["ok"] for r in recs], dtype=np.int64)[order] == 1
+        sc = np.asarray(scores, dtype=np.float64)[order]
+
+        # tp masks vectorized over (records x 7 score cells), one
+        # overlap row at a time — 5 iterations bound peak memory to
+        # ~n*7 f64 temporaries (~400 MB at the 1.5M-record real-eval
+        # scale) instead of n*35.
+        thresholds = np.array(MIN_SCORES, dtype=np.float64)
+        sc_pass = sc[:, None] > thresholds[None, :]         # (n, 7)
+        base = has_refs & ok                                # (n,)
+        ranks = np.arange(1, n + 1, dtype=np.float64)
+        ts = np.arange(0, 1.0001, 0.01)
+        aps = np.zeros((len(MIN_OVERLAPS), len(MIN_SCORES)))
+        for oi, min_overlap in enumerate(MIN_OVERLAPS):
+            tp = ((base & (ov >= min_overlap))[:, None]
+                  & sc_pass).astype(np.float64)             # (n, 7)
+            tp_cum = np.cumsum(tp, axis=0)
+            # fp_cum + tp_cum == rank+1 (every record is tp or fp)
+            rec = tp_cum / max(self.npos, 1)
+            prec = tp_cum / np.maximum(ranks[:, None], 1e-12)
+
+            # 101-point max-interpolated AP (eval_utils.lua:289-299):
+            # rec is nondecreasing per cell, so {rec >= t} is a suffix
+            # and max(prec[rec >= t]) is a suffix-max at searchsorted.
+            suffix_max = np.maximum.accumulate(prec[::-1], axis=0)[::-1]
+            for si in range(len(MIN_SCORES) if n else 0):
+                idx = np.searchsorted(rec[:, si], ts, side="left")
+                valid = idx < n
+                aps[oi, si] = suffix_max[idx[valid], si].sum() / 101.0
+
         ap_results, det_results = {}, {}
-        for min_overlap in MIN_OVERLAPS:
-            for min_score in MIN_SCORES:
-                tp = np.zeros(n)
-                fp = np.zeros(n)
-                for rank, ii in enumerate(order):
-                    r = recs[ii]
-                    if not r["references"]:
-                        fp[rank] = 1
-                    elif (r["ov"] >= min_overlap and r["ok"] == 1
-                          and scores[ii] > min_score):
-                        tp[rank] = 1
-                    else:
-                        fp[rank] = 1
-                fp = np.cumsum(fp)
-                tp = np.cumsum(tp)
-                rec = tp / max(self.npos, 1)
-                prec = tp / np.maximum(fp + tp, 1e-12)
-
-                # 101-point max-interpolated AP (eval_utils.lua:289-299)
-                ap = 0.0
-                for t in np.arange(0, 1.0001, 0.01):
-                    mask = rec >= t
-                    ap += float(prec[mask].max()) if mask.any() else 0.0
-                ap /= 101.0
-
+        for oi, min_overlap in enumerate(MIN_OVERLAPS):
+            for si, min_score in enumerate(MIN_SCORES):
+                ap = float(aps[oi, si])
                 if min_score == -1:
                     det_results[f"ov{min_overlap}"] = ap
                 else:

@@ -76,14 +76,26 @@ def _meteor_cmd(jar):
             "-norm"]
 
 
-def score_captions_meteor(records, jar):
+METEOR_CHUNK = 128
+
+
+def score_captions_meteor(records, jar, chunk=METEOR_CHUNK):
     """Batch-score via one Java METEOR process in stdio mode.
 
-    Exactly the reference bridge's protocol (eval/meteor_bridge.py:
-    19-45): `java -jar -Xmx2G meteor-1.5.jar - - -stdio -l en -norm`,
-    one `SCORE ||| ref1 ||| ... ||| refN ||| hypothesis` line per record
-    followed by `EVAL ||| <stats>`; METEOR handles multi-reference
-    aggregation natively. Records with no references score 0.
+    The per-record protocol is exactly the reference bridge's
+    (eval/meteor_bridge.py:19-45): `java -jar -Xmx2G meteor-1.5.jar - -
+    -stdio -l en -norm`, one `SCORE ||| ref1 ||| ... ||| refN |||
+    hypothesis` line per record followed by `EVAL ||| <stats>`; METEOR
+    handles multi-reference aggregation natively. Records with no
+    references score 0 and never reach the jar.
+
+    Unlike the reference's strictly synchronous loop, records are
+    PIPELINED in chunks: write `chunk` SCORE lines, read their stats,
+    write the EVAL lines, read the scores — 4 flushes per chunk instead
+    of 4 blocking pipe round-trips per record (real VG eval scale is
+    ~5M records). The chunk size keeps the child's pending stdout
+    (stats/score lines, ~150 bytes each) well under the 64 KiB pipe
+    buffer, so neither side ever blocks mid-chunk.
     """
     proc = subprocess.Popen(
         _meteor_cmd(jar),
@@ -92,20 +104,24 @@ def score_captions_meteor(records, jar):
         cwd=os.path.dirname(os.path.abspath(jar)) or None,
     )
     scores = [0.0] * len(records)
+    idxs = [i for i, rec in enumerate(records) if rec.get("references")]
     try:
-        for i, rec in enumerate(records):
-            refs = [_clean(r) for r in (rec.get("references") or [])]
-            if not refs:
-                continue
-            hyp = _clean(rec.get("candidate", ""))
+        for base in range(0, len(idxs), chunk):
+            grp = idxs[base:base + chunk]
+            lines = []
+            for i in grp:
+                refs = [_clean(r) for r in records[i]["references"]]
+                hyp = _clean(records[i].get("candidate", ""))
+                lines.append("SCORE ||| " + " ||| ".join(refs)
+                             + " ||| " + hyp + "\n")
+            proc.stdin.write("".join(lines))
+            proc.stdin.flush()
+            stats = [proc.stdout.readline().strip() for _ in grp]
             proc.stdin.write(
-                "SCORE ||| " + " ||| ".join(refs) + " ||| " + hyp + "\n"
-            )
+                "".join(f"EVAL ||| {s}\n" for s in stats))
             proc.stdin.flush()
-            stats = proc.stdout.readline().strip()
-            proc.stdin.write(f"EVAL ||| {stats}\n")
-            proc.stdin.flush()
-            scores[i] = float(proc.stdout.readline().strip())
+            for i in grp:
+                scores[i] = float(proc.stdout.readline().strip())
     finally:
         proc.stdin.close()
         proc.wait()

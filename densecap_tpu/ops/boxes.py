@@ -233,6 +233,8 @@ def merge_boxes(boxes, thr):
 
     assert thr > 0
     boxes = np.asarray(boxes, dtype=np.float64)
+    if len(boxes) == 0:
+        return []
     D = np.array(iou_matrix(boxes))  # writable copy
     ix = []
     while True:

@@ -112,3 +112,84 @@ def test_multiple_images_accumulate():
     assert ev.num_added() == 3
     assert ev.npos == 3
     assert ev.evaluate(verbose=False)["map"] > 0.99
+
+
+def _evaluate_loop_oracle(ev, scores):
+    """Direct transliteration of the reference's per-record AP loop
+    (eval_utils.lua:251-311) — the pre-vectorization implementation,
+    kept as the equality oracle for DenseCaptioningEvaluator.evaluate."""
+    from densecap_tpu.eval.evaluator import MIN_OVERLAPS, MIN_SCORES
+
+    logprobs = np.concatenate(ev.all_logprobs)
+    order = np.argsort(-logprobs, kind="stable")
+    n = len(order)
+    recs = ev.records
+    out = {}
+    for min_overlap in MIN_OVERLAPS:
+        for min_score in MIN_SCORES:
+            tp = np.zeros(n)
+            fp = np.zeros(n)
+            for rank, ii in enumerate(order):
+                r = recs[ii]
+                if not r["references"]:
+                    fp[rank] = 1
+                elif (r["ov"] >= min_overlap and r["ok"] == 1
+                      and scores[ii] > min_score):
+                    tp[rank] = 1
+                else:
+                    fp[rank] = 1
+            fp = np.cumsum(fp)
+            tp = np.cumsum(tp)
+            rec = tp / max(ev.npos, 1)
+            prec = tp / np.maximum(fp + tp, 1e-12)
+            ap = 0.0
+            for t in np.arange(0, 1.0001, 0.01):
+                mask = rec >= t
+                ap += float(prec[mask].max()) if mask.any() else 0.0
+            out[(min_overlap, min_score)] = ap / 101.0
+    return out
+
+
+def test_vectorized_grid_matches_loop_oracle():
+    """The vectorized (records x 35 cells) AP grid must equal the
+    per-record loop transliteration bit-for-bit on randomized inputs:
+    many images, overlapping/duplicate/unmatched detections, ties in
+    objectness, empty-gt images."""
+    from densecap_tpu.eval import meteor as meteor_mod
+    from densecap_tpu.eval.evaluator import MIN_OVERLAPS, MIN_SCORES
+
+    rng = np.random.RandomState(0)
+    ev = DenseCaptioningEvaluator()
+    vocab = ["cat", "dog", "red", "blue", "mat", "tree", "car"]
+    for img in range(12):
+        n_gt = rng.randint(0, 4)
+        gt_boxes = np.column_stack([
+            rng.uniform(20, 200, n_gt), rng.uniform(20, 200, n_gt),
+            rng.uniform(8, 60, n_gt), rng.uniform(8, 60, n_gt)])
+        gt_text = [" ".join(rng.choice(vocab, 3)) for _ in range(n_gt)]
+        n_det = rng.randint(1, 8)
+        if n_gt and rng.rand() < 0.7:
+            picks = rng.randint(0, n_gt, n_det)
+            boxes = gt_boxes[picks] + rng.normal(0, 6, (n_det, 4))
+            text = [gt_text[p] if rng.rand() < 0.5
+                    else " ".join(rng.choice(vocab, 3)) for p in picks]
+        else:
+            boxes = np.column_stack([
+                rng.uniform(20, 200, n_det), rng.uniform(20, 200, n_det),
+                rng.uniform(8, 60, n_det), rng.uniform(8, 60, n_det)])
+            text = [" ".join(rng.choice(vocab, 3)) for _ in range(n_det)]
+        logprobs = np.round(rng.uniform(0, 3, n_det), 1)  # force ties
+        ev.add_result(logprobs, boxes, text, gt_boxes, gt_text)
+
+    res = ev.evaluate(verbose=False)
+    scores = meteor_mod.score_captions(ev.records)["scores"]
+    oracle = _evaluate_loop_oracle(ev, scores)
+    for min_overlap in MIN_OVERLAPS:
+        for min_score in MIN_SCORES:
+            got = (res["det_breakdown"][f"ov{min_overlap}"]
+                   if min_score == -1 else
+                   res["ap_breakdown"][f"ov{min_overlap}_score{min_score}"])
+            # identical per-threshold precision values; only the
+            # 101-term summation order differs (pairwise vs sequential)
+            assert abs(got - oracle[(min_overlap, min_score)]) < 1e-12, (
+                min_overlap, min_score)

@@ -90,6 +90,29 @@ def test_many_records_one_process(fake_jar):
     assert all(s == pytest.approx(1.0) for s in scores)
 
 
+def test_chunked_pipelining_preserves_record_pairing(fake_jar):
+    """Chunked writes (the real-scale protocol) must keep every score
+    paired to its record across chunk boundaries, with no-reference
+    records interleaved (they skip the jar entirely)."""
+    records = []
+    for i in range(23):
+        if i % 5 == 2:
+            records.append({"candidate": f"w{i}", "references": []})
+        elif i % 2 == 0:
+            records.append({"candidate": f"w{i}", "references": [f"w{i}"]})
+        else:  # half-overlap: jaccard 1/3
+            records.append({"candidate": f"w{i} x{i}",
+                            "references": [f"w{i} y{i}"]})
+    scores = meteor.score_captions_meteor(records, fake_jar, chunk=7)
+    for i, (rec, s) in enumerate(zip(records, scores)):
+        if not rec["references"]:
+            assert s == 0.0, i
+        elif i % 2 == 0:
+            assert s == pytest.approx(1.0), i
+        else:
+            assert s == pytest.approx(1 / 3), i
+
+
 def test_score_captions_dispatches_to_jar(tmp_path, monkeypatch):
     """With a jar present (and the argv substituted), score_captions
     reports method='meteor', not the fallback."""
