@@ -29,6 +29,12 @@ def build_argparser():
     p.add_argument("--data_h5", default="data/VG-regions.h5")
     p.add_argument("--data_json", default="data/VG-regions-dicts.json")
     p.add_argument("--max_gt_boxes", type=int, default=128)
+    p.add_argument("--uint8_pipe", type=int, default=1,
+                   help="feed raw uint8 canvases and normalize on "
+                        "device (XLA fuses it into the first conv): 4x "
+                        "less host work + transfer, numerically equal "
+                        "to host normalization (tests/test_data_"
+                        "pipeline.py). 0 = host-side f32 path")
     # model/loss (train_opts.lua defaults)
     p.add_argument("--rpn_hidden_dim", type=int, default=512)
     p.add_argument("--sampler_batch_size", type=int, default=256)
@@ -120,12 +126,18 @@ def main(argv=None):
             f"{nproc} processes")
     local_batch_size = args.batch_size // nproc
 
-    # unsharded view for vocab/meta/eval; per-process shard for training
+    # unsharded f32 view for vocab/meta/eval; raw-uint8 (default) for
+    # training, with a per-process shard under multi-host
     loader = DenseCapLoader(args.data_h5, args.data_json,
                             max_gt_boxes=args.max_gt_boxes)
-    train_loader = loader if nproc == 1 else DenseCapLoader(
+    raw = bool(args.uint8_pipe)
+    train_loader = DenseCapLoader(
         args.data_h5, args.data_json, max_gt_boxes=args.max_gt_boxes,
-        shard=(jax.process_index(), nproc))
+        raw_images=raw)
+    train_loader_sharded = train_loader if nproc == 1 else \
+        DenseCapLoader(args.data_h5, args.data_json,
+                       max_gt_boxes=args.max_gt_boxes, raw_images=raw,
+                       shard=(jax.process_index(), nproc))
     cfg = DenseCapConfig(
         vocab_size=loader.vocab_size(),
         seq_length=loader.seq_length(),
@@ -245,7 +257,7 @@ def main(argv=None):
             # agree on every step's bucket shape with zero
             # communication (data/loader.py:BucketedLoader).
             bucketed = BucketedLoader(
-                loader, buckets, args.batch_size, split=0,
+                train_loader, buckets, args.batch_size, split=0,
                 shard=(jax.process_index(), nproc))
         else:
             bucketed = BucketedLoader(train_loader, buckets,
@@ -256,8 +268,8 @@ def main(argv=None):
         prefetch = PrefetchingLoader(
             source=lambda: bucketed.next_batch()[1])
     else:
-        prefetch = PrefetchingLoader(train_loader, local_batch_size,
-                                     split=0)
+        prefetch = PrefetchingLoader(train_loader_sharded,
+                                     local_batch_size, split=0)
     meta = json.dumps({
         "vocab_size": cfg.vocab_size,
         "seq_length": cfg.seq_length,

@@ -32,11 +32,21 @@ class DenseCapLoader:
     """Reads the preprocessed HDF5 + dicts json (schema: preprocess.py)."""
 
     def __init__(self, h5_path, json_path, max_gt_boxes=128, seed=0,
-                 proposals_h5=None, shard=None):
+                 proposals_h5=None, shard=None, raw_images=False):
         """shard: optional (process_id, num_processes) — this loader
         then sees only every num_processes-th example of each split
         (round-robin), the per-host feeding half of the multi-host
-        recipe (parallel/distributed.py)."""
+        recipe (parallel/distributed.py).
+
+        raw_images=True returns images as the h5's raw uint8 (HWC view,
+        no float convert / mean-subtract / pad-zeroing on host) — the
+        TPU-first feed: the train step normalizes ON DEVICE
+        (parallel/train_step.py:normalize_uint8_images), XLA fuses it
+        into the first conv's input, and the host pipeline moves 4x
+        fewer bytes (1.5 MB/image over the transfer instead of 6.2 MB).
+        Measured: the f32 host path sustains only ~60 img/s at 720px —
+        below the 120 img/s device step — while raw uint8 feeds it with
+        headroom (doc/BENCH.md round 5)."""
         import h5py
 
         self.h5 = h5py.File(h5_path, "r")
@@ -48,6 +58,7 @@ class DenseCapLoader:
         with open(json_path) as f:
             self.info = json.load(f)
         self.max_gt_boxes = max_gt_boxes
+        self.raw_images = raw_images
         self.rng = np.random.RandomState(seed)
 
         # index arrays in RAM (DataLoader.lua:29-43)
@@ -103,7 +114,14 @@ class DenseCapLoader:
         consequence of mixing the two conventions: see
         doc/DESIGN.md 'Canvas boundary effects'.)
         """
-        chw = self.h5["images"][ix].astype(np.float32)  # (3, S, S) BGR
+        chw = self.h5["images"][ix]                     # (3, S, S) BGR
+        if self.raw_images:
+            # uint8 HWC view; convert/mean-sub/pad-mask happen on
+            # device (train_step.normalize_uint8_images) — the h5 pad
+            # region is zero PIXELS, which that helper re-zeroes after
+            # mean subtraction, reproducing this f32 path exactly.
+            return chw.transpose(1, 2, 0)
+        chw = chw.astype(np.float32)
         chw -= self.vgg_mean
         img = np.ascontiguousarray(chw.transpose(1, 2, 0))
         h = int(self.image_heights[ix])
@@ -382,3 +400,7 @@ class PrefetchingLoader:
                 self.q.get_nowait()
         except queue.Empty:
             pass
+        # Join the worker: a daemon thread mid-h5-read at interpreter
+        # exit can deadlock against h5py's atexit file close (HDF5
+        # global lock) — measured as a hard hang after the final print.
+        self.thread.join(timeout=10.0)

@@ -96,12 +96,35 @@ def make_optimizer(cfg: DenseCapConfig, learning_rate=1e-5, beta1=0.9,
     return tx
 
 
+def normalize_uint8_images(images, heights, widths):
+    """Device-side image normalization for the raw-uint8 feed
+    (data/loader.py raw_images=True): (B, S, S, 3) uint8 BGR canvas ->
+    f32, VGG mean subtracted, pad region (rows >= h, cols >= w) zeroed
+    AFTER the subtraction — bit-equal to the host f32 path
+    (DenseCapLoader._load_image). XLA fuses the convert/subtract/mask
+    into the first conv's input; the win is host work and transfer
+    bytes (uint8 is 4x smaller), measured in doc/BENCH.md round 5."""
+    from ..config import VGG_MEAN_BGR
+
+    x = images.astype(jnp.float32) - jnp.asarray(
+        VGG_MEAN_BGR, jnp.float32)
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    row_ok = jnp.arange(H)[None, :] < heights[:, None]      # (B, H)
+    col_ok = jnp.arange(W)[None, :] < widths[:, None]       # (B, W)
+    mask = (row_ok[:, :, None] & col_ok[:, None, :])[..., None]
+    return jnp.where(mask, x, 0.0)   # where (not *) keeps pad at +0.0
+
+
 def batched_loss(params, batch, rng, cfg: DenseCapConfig):
     """Mean per-image losses over the batch dim.
 
     An optional batch['weight'] (B,) reweights the mean — used by the
     bucketed loader's epoch-tail batches, where repeat-padded slots
-    carry weight 0 so every real example counts exactly once."""
+    carry weight 0 so every real example counts exactly once. A uint8
+    batch['image'] is normalized on device (raw-uint8 feed)."""
+    if batch["image"].dtype == jnp.uint8:
+        batch = dict(batch, image=normalize_uint8_images(
+            batch["image"], batch["height"], batch["width"]))
     B = batch["image"].shape[0]
     rngs = jax.random.split(rng, B)
     losses = jax.vmap(

@@ -342,3 +342,61 @@ def test_bucketed_loader_trains(built):
         assert np.isfinite(float(losses["total_loss"]))
     # both the (56,64) bucket and any fallback compile and train
     assert len(seen) >= 1
+
+
+def test_raw_uint8_feed_matches_f32_host_path(built):
+    """The raw-uint8 feed (loader raw_images=True + device-side
+    normalize_uint8_images) must produce images numerically equal to
+    the host f32 path, and identical train-step losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from densecap_tpu.config import DenseCapConfig
+    from densecap_tpu.parallel import train_step as ts
+
+    h5_out, json_out = built
+    lf = DenseCapLoader(h5_out, json_out, max_gt_boxes=4)
+    lr = DenseCapLoader(h5_out, json_out, max_gt_boxes=4,
+                        raw_images=True)
+    bf = lf.get_batch(batch_size=2, split=0)
+    br = lr.get_batch(batch_size=2, split=0)
+    assert br["image"].dtype == np.uint8
+
+    norm = ts.normalize_uint8_images(
+        jnp.asarray(br["image"]), jnp.asarray(br["height"]),
+        jnp.asarray(br["width"]))
+    np.testing.assert_array_equal(np.asarray(norm), bf["image"])
+
+    cfg = DenseCapConfig(
+        vocab_size=lf.vocab_size(), seq_length=lf.seq_length(),
+        image_size=lf.canvas,
+        anchors=((10, 10), (20, 20), (14, 28), (28, 14)),
+        sampler_batch_size=8, max_gt_boxes=4, test_max_proposals=8,
+        rnn_size=24, rnn_encoding_size=24, fc_dim=48, rpn_num_filters=24,
+        compute_dtype=jnp.float32,
+    )
+    keys = ("image", "height", "width", "gt_boxes", "gt_labels",
+            "gt_valid")
+    state, tx = ts.init_state(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(3)
+    _, loss_f = ts.train_step(
+        state, {k: jnp.asarray(bf[k]) for k in keys}, rng, cfg, tx)
+    state2, _ = ts.init_state(jax.random.PRNGKey(0), cfg)
+    _, loss_r = ts.train_step(
+        state2, {k: jnp.asarray(br[k]) for k in keys}, rng, cfg, tx)
+    for k in loss_f:
+        np.testing.assert_allclose(float(loss_r[k]), float(loss_f[k]),
+                                   rtol=1e-6, err_msg=k)
+
+
+def test_prefetching_loader_close_joins_worker(built):
+    """close() must join the worker thread (a daemon mid-h5-read at
+    interpreter exit deadlocks against h5py's atexit close)."""
+    from densecap_tpu.data.loader import PrefetchingLoader
+
+    h5_out, json_out = built
+    loader = DenseCapLoader(h5_out, json_out, max_gt_boxes=4)
+    pf = PrefetchingLoader(loader=loader, batch_size=2, split=0)
+    pf.next()
+    pf.close()
+    assert not pf.thread.is_alive()
