@@ -46,7 +46,7 @@ def build_argparser():
                    help="RoI-align formulation for train+eval: auto "
                         "picks the MXU einsum on TPU (f32, numerics "
                         "identical to gather, scatter-free backward; "
-                        "+46% train step), gather elsewhere")
+                        "+46%% train step), gather elsewhere")
     p.add_argument("--mid_box_reg_weight", type=float, default=0.05)
     p.add_argument("--mid_objectness_weight", type=float, default=0.1)
     p.add_argument("--end_box_reg_weight", type=float, default=0.1)

@@ -162,6 +162,19 @@ def main():
                   f"({time.time() - t0:.0f}s)", flush=True)
 
     trained = state.params
+    if "--save" in sys.argv:
+        import json as _json
+
+        from densecap_tpu.utils import checkpoint as ckpt
+        out_path = sys.argv[sys.argv.index("--save") + 1]
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        ckpt.save_params(out_path, jax.device_get(trained), extra={
+            "meta": _json.dumps({
+                "vocab_size": cfg.vocab_size,
+                "seq_length": cfg.seq_length,
+                "config": cfg.to_json(),
+            })})
+        print(f"saved trained flagship checkpoint to {out_path}")
     random_p = jax.device_put(densecap.init_params(jax.random.PRNGKey(0),
                                                    cfg))
 
