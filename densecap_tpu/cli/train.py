@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+from collections import deque
 
 import numpy as np
 
@@ -288,18 +289,56 @@ def main(argv=None):
 
     it = int(state.step)
     tracing = False
+
+    def next_global_batch():
+        batch_np = prefetch.next()
+        batch = {
+            k: v
+            for k, v in batch_np.items()
+            if k in ("image", "height", "width", "gt_boxes",
+                     "gt_labels", "gt_valid", "weight")
+        }
+        # per-process local slice -> global sharded arrays (one code
+        # path for single- and multi-host; parallel/distributed.py)
+        return dist.global_batch_from_local(batch, mesh)
+
+    # Deferred loss fetch: train_step results are appended here and
+    # read a few steps late, so the per-step scalar fetch (a full
+    # host<->device round trip) overlaps later steps instead of
+    # stalling the device after every one. The NaN/explosion watchdog
+    # (train.lua:203-208) therefore fires up to FETCH_LAG steps after
+    # the offending step — same abort, marginally later. drain(True)
+    # runs before every eval/checkpoint and at loop exit, so
+    # loss_history and the watchdog observe every step exactly once.
+    FETCH_LAG = 3
+    pending_losses = deque()
+
+    def drain(force=False):
+        nonlocal loss0
+        while pending_losses and (force or len(pending_losses) > FETCH_LAG):
+            it_o, ls = pending_losses.popleft()
+            vals = {k: float(v) for k, v in ls.items()}
+            total = vals["total_loss"]
+            if it_o % args.losses_log_every == 0:
+                loss_history[it_o] = vals
+                if is_main:
+                    print(f"iter {it_o}: {json.dumps(vals)}")
+                if args.timing:
+                    print(timer.report())
+            # loss explosion watchdog (train.lua:203-208) + NaN guard
+            if loss0 is None:
+                loss0 = total
+            if total != total:
+                raise SystemExit(f"loss is NaN at iter {it_o}; aborting")
+            if total > 100 * loss0:
+                raise SystemExit(
+                    f"loss exploded ({total} > 100 x {loss0}); aborting"
+                )
+
+    with timer.stage("data"):
+        next_batch = next_global_batch()
     while args.max_iters < 0 or it < args.max_iters:
-        with timer.stage("data"):
-            batch_np = prefetch.next()
-            batch = {
-                k: v
-                for k, v in batch_np.items()
-                if k in ("image", "height", "width", "gt_boxes",
-                         "gt_labels", "gt_valid", "weight")
-            }
-            # per-process local slice -> global sharded arrays (one code
-            # path for single- and multi-host; parallel/distributed.py)
-            batch = dist.global_batch_from_local(batch, mesh)
+        batch = next_batch
         if (args.finetune_cnn_after >= 0
                 and it >= args.finetune_cnn_after
                 and not bool(state.finetune_cnn)):
@@ -327,7 +366,15 @@ def main(argv=None):
             state, losses = ts.train_step(state, batch, sub, cfg, tx)
             if args.timing:
                 jax.block_until_ready(losses["total_loss"])
-        it = int(state.step)
+        # host-side step counter (train_step increments state.step by
+        # exactly 1); reading int(state.step) here would stall the
+        # pipeline on every step's completion
+        it += 1
+
+        # issue the NEXT batch's host->device transfer while this step
+        # computes (the transfer rides under the in-flight execution)
+        with timer.stage("data"):
+            next_batch = next_global_batch()
 
         if args.profile_dir and tracing and it >= 5:
             jax.block_until_ready(losses["total_loss"])
@@ -335,23 +382,8 @@ def main(argv=None):
             tracing = False
             print(f"wrote XLA trace for steps 3-5 to {args.profile_dir}")
 
-        total = float(losses["total_loss"])
-        if it % args.losses_log_every == 0:
-            loss_history[it] = {k: float(v) for k, v in losses.items()}
-            if is_main:
-                print(f"iter {it}: {json.dumps(loss_history[it])}")
-            if args.timing:
-                print(timer.report())
-
-        # loss explosion watchdog (train.lua:203-208) + NaN guard
-        if loss0 is None:
-            loss0 = total
-        if total != total:
-            raise SystemExit(f"loss is NaN at iter {it}; aborting")
-        if total > 100 * loss0:
-            raise SystemExit(
-                f"loss exploded ({total} > 100 x {loss0}); aborting"
-            )
+        pending_losses.append((it, losses))
+        drain()
 
         do_eval = (
             it % args.save_checkpoint_every == 0
@@ -359,6 +391,9 @@ def main(argv=None):
             or (0 < args.max_iters == it)
         )
         if do_eval:
+            # flush deferred loss fetches first so loss_history (written
+            # to the checkpoint json below) and the watchdog are current
+            drain(force=True)
             # multi-host: allgather the sharded state to every host (a
             # collective — ALL processes participate), then only process
             # 0 evaluates and writes
@@ -418,6 +453,7 @@ def main(argv=None):
                     print(f"saved checkpoint to "
                           f"{args.checkpoint_path}.npz")
 
+    drain(force=True)  # flush deferred loss fetches past the last step
     if tracing:  # max_iters ended inside the trace window
         jax.profiler.stop_trace()
     prefetch.close()

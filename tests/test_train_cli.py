@@ -142,3 +142,40 @@ def test_setup_compilation_cache_configures_jax(monkeypatch, tmp_path):
         assert jax.config.jax_compilation_cache_dir == cache_dir  # unchanged
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+@pytest.mark.slow
+def test_nan_watchdog_fires_through_deferred_fetch(dataset, tmp_path,
+                                                   monkeypatch):
+    """Loss fetches are deferred a few steps to keep the device pipeline
+    full (cli/train.py:drain); the NaN watchdog must still abort — a few
+    iterations late is fine, silently training on NaN is not."""
+    import jax.numpy as jnp
+
+    from densecap_tpu.cli import train as train_cli
+    from densecap_tpu.parallel import train_step as ts
+
+    real_step = ts.train_step
+
+    def poisoned_step(state, batch, rng, cfg, tx):
+        state, losses = real_step(state, batch, rng, cfg, tx)
+        if int(state.step) >= 2:  # NaN from step 2 onward
+            losses = dict(losses)
+            losses["total_loss"] = losses["total_loss"] * jnp.nan
+        return state, losses
+
+    monkeypatch.setattr(ts, "train_step", poisoned_step)
+    with pytest.raises(SystemExit, match="NaN at iter 2"):
+        train_cli.main([
+            "--data_h5", str(dataset / "d.h5"),
+            "--data_json", str(dataset / "d.json"),
+            "--batch_size", "2",
+            "--max_gt_boxes", "4",
+            "--sampler_batch_size", "8",
+            "--rnn_size", "16",
+            "--input_encoding_size", "16",
+            "--max_iters", "20",
+            "--save_checkpoint_every", "100",
+            "--val_images_use", "1",
+            "--checkpoint_path", str(tmp_path / "ck" / "densecap"),
+        ])
