@@ -47,11 +47,38 @@ def steady(fn, args_fn, iters=ITERS):
     return (time.perf_counter() - t0) / iters
 
 
+def make_scene(rng, H, W):
+    """In-distribution image for the trained flagship checkpoint
+    (colored boxes on gray, as scripts/trained_weights_bench.py trains
+    on). On OUT-of-distribution input (pure noise) a few RoIs never
+    emit END, the while_loop runs all T steps, and the early exit can
+    only show its ~6% overhead — pass --noise_image to measure that
+    worst case."""
+    img = rng.uniform(90, 130, (H, W, 3)).astype(np.float32)
+    colors = [(200, 40, 40), (40, 180, 40), (40, 60, 200),
+              (220, 210, 40)]
+    for _ in range(4):
+        w, h = rng.randint(60, 300, 2)
+        x = rng.randint(1, W - w - 1)
+        y = rng.randint(1, H - h - 1)
+        img[y:y + h, x:x + w] = colors[rng.randint(len(colors))]
+    return jnp.asarray(img[:, :, ::-1] - np.array([103.9, 116.8, 123.7],
+                                                  np.float32))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--image_size", type=int, default=720)
     ap.add_argument("--proposals", type=int, default=1000)
+    ap.add_argument("--part", default="all", choices=["all", "lm", "full"],
+                    help="run only the LM-only or only the full-program "
+                         "A/B (the full 720px beam graph is a long "
+                         "compile; split parts across runs to stay "
+                         "inside a wall-clock budget)")
+    ap.add_argument("--noise_image", action="store_true",
+                    help="use an out-of-distribution noise image "
+                         "(worst case for the early exit)")
     args = ap.parse_args()
 
     params, extra = ckpt.load_params(args.checkpoint)
@@ -66,39 +93,53 @@ def main():
                         cfg.rnn_encoding_size, cfg.rnn_size, cfg.fc_dim)
     params = jax.device_put(params)
 
-    # ---- LM-only: trained RoI codes from a real forward pass ----------
+    # ---- trained RoI codes from a real forward pass -------------------
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.randn(args.image_size, args.image_size, 3)
-                      .astype(np.float32) * 40 + 20)
+    if args.noise_image:
+        img = jnp.asarray(rng.randn(args.image_size, args.image_size, 3)
+                          .astype(np.float32) * 40 + 20)
+    else:
+        img = make_scene(rng, args.image_size, args.image_size)
     _, feats, _ = jax.jit(lambda p, im: densecap.extract_features(
         p, im, args.image_size, args.image_size, cfg,
         max_boxes=args.proposals))(params, img)
 
-    variants = {}
-    for early in (False, True):
-        f = jax.jit(lambda p, v, early=early: jnp.sum(
-            lstm.beamsearch(p, v, lmc, beam_size=BEAM,
-                            early_exit=early)))
-        t0 = time.perf_counter()
-        float(f(params["lm"], feats))
-        print(f"LM-only early_exit={early}: compile+run "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
-        dt = steady(lambda a: f(params["lm"], feats + a[1] * 0),
-                    lambda i: (0, i))
-        variants[early] = dt
-        print(f"LM-only early_exit={early}: {1e3 * dt:.2f} ms steady")
-    seq_f = np.asarray(lstm.beamsearch(params["lm"], feats, lmc,
-                                       beam_size=BEAM, early_exit=False))
     seq_e = np.asarray(lstm.beamsearch(params["lm"], feats, lmc,
                                        beam_size=BEAM, early_exit=True))
-    np.testing.assert_array_equal(seq_f, seq_e)
     END = cfg.vocab_size + 1
-    lens = (seq_e != END).sum(axis=1)
-    print(f"token-EQUAL; mean caption length {lens.mean():.1f} / "
-          f"{cfg.seq_length}; LM-only speedup "
-          f"{variants[False] / variants[True]:.2f}x")
+    lens = []
+    for row in seq_e:
+        ends = np.nonzero(row == END)[0]
+        lens.append(int(ends[0]) if len(ends) else cfg.seq_length)
+    lens = np.asarray(lens)
+    print(f"caption lengths over {len(lens)} RoIs: mean {lens.mean():.1f} "
+          f"max {lens.max()} / T={cfg.seq_length} "
+          f"(the while_loop exits after max+1 steps)", flush=True)
+
+    if args.part in ("all", "lm"):
+        variants = {}
+        for early in (False, True):
+            f = jax.jit(lambda p, v, early=early: jnp.sum(
+                lstm.beamsearch(p, v, lmc, beam_size=BEAM,
+                                early_exit=early)))
+            t0 = time.perf_counter()
+            float(f(params["lm"], feats))
+            print(f"LM-only early_exit={early}: compile+run "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            dt = steady(lambda a: f(params["lm"], feats + a[1] * 0),
+                        lambda i: (0, i))
+            variants[early] = dt
+            print(f"LM-only early_exit={early}: {1e3 * dt:.2f} ms steady")
+        seq_f = np.asarray(lstm.beamsearch(params["lm"], feats, lmc,
+                                           beam_size=BEAM,
+                                           early_exit=False))
+        np.testing.assert_array_equal(seq_f, seq_e)
+        print(f"token-EQUAL; LM-only speedup "
+              f"{variants[False] / variants[True]:.2f}x")
 
     # ---- full program -------------------------------------------------
+    if args.part not in ("all", "full"):
+        return
     for early in (False, True):
         import densecap_tpu.models.lstm as lstm_mod
         orig = lstm_mod.beamsearch
@@ -109,21 +150,23 @@ def main():
                             return_logprobs, early_exit=False)
             lstm_mod.beamsearch = fixed
         try:
-            f = jax.jit(lambda p, im: densecap.forward_test(
-                p, im, args.image_size, args.image_size, cfg,
-                use_beam=BEAM))
-
-            def run(salt):
-                out = f(params, img + salt)
+            # params/img must be jit ARGUMENTS: closed-over arrays are
+            # embedded in the HLO shipped to the remote compiler and
+            # the ~600 MB of params overflow its request limit (413)
+            @jax.jit
+            def g(p, im, salt):
+                out = densecap.forward_test(
+                    p, im + salt, args.image_size, args.image_size, cfg,
+                    use_beam=BEAM)
                 return (jnp.sum(out.boxes.astype(jnp.float32))
                         + jnp.sum(out.captions) + out.num)
 
-            g = jax.jit(lambda salt: run(salt))
             t0 = time.perf_counter()
-            float(g(jnp.float32(0.0)))
+            float(g(params, img, jnp.float32(0.0)))
             print(f"full early_exit={early}: compile+run "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
-            dt = steady(lambda s: g(s), lambda i: jnp.float32(i * 1e-4))
+            dt = steady(lambda s: g(params, img, s),
+                        lambda i: jnp.float32(i * 1e-4))
             print(f"FULL beam-3 early_exit={early}: {1e3 * dt:.2f} "
                   f"ms/image steady", flush=True)
         finally:

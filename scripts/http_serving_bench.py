@@ -94,8 +94,9 @@ def main():
     url = f"http://127.0.0.1:{args.port}/api/infer"
 
     frames = make_frames(16, args.image_size)
-    # wait for the server to come up + compile
-    deadline = time.time() + 600
+    # wait for the server to come up + compile (a cold remote-compile
+    # tunnel can take >10 min; the persistent cache makes retries fast)
+    deadline = time.time() + 1500
     while True:
         try:
             req = urllib.request.Request(
