@@ -71,7 +71,9 @@ def client_loop(url, stream_id, frames, stop, lat, errors):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--port", type=int, default=8117)
+    ap.add_argument("--port", type=int, default=18923,
+                    help="default avoids 80xx-81xx, which the axon "
+                         "dev tunnel's port bank squats on localhost")
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--image_size", type=int, default=480)
@@ -97,20 +99,28 @@ def main():
     # wait for the server to come up + compile (a cold remote-compile
     # tunnel can take >10 min; the persistent cache makes retries fast)
     deadline = time.time() + 1500
-    while True:
-        try:
-            req = urllib.request.Request(
-                url, data=json.dumps({"image": frames[0]}).encode(),
-                headers={"Content-Type": "application/json"})
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                json.loads(resp.read())
-            break
-        except Exception:
-            if time.time() > deadline:
-                raise SystemExit("server never came up")
-            if proc is not None and proc.poll() is not None:
-                raise SystemExit(f"server exited rc={proc.returncode}")
-            time.sleep(2.0)
+    try:
+        while True:
+            try:
+                req = urllib.request.Request(
+                    url, data=json.dumps({"image": frames[0]}).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    json.loads(resp.read())
+                break
+            except Exception:
+                if time.time() > deadline:
+                    raise SystemExit("server never came up")
+                if proc is not None and proc.poll() is not None:
+                    raise SystemExit(
+                        f"server exited rc={proc.returncode}")
+                time.sleep(2.0)
+    except BaseException:
+        # never orphan the compiling server subprocess (it would hold
+        # the port and poison the next run with 'address in use')
+        if proc is not None:
+            proc.terminate()
+        raise
 
     lat, errors = [], []
     stop = threading.Event()
