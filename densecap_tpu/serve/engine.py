@@ -20,9 +20,32 @@ import jax.numpy as jnp
 
 from ..config import DenseCapConfig
 from ..models import densecap
-from ..ops.boxes import iou_cwh
 from ..utils.image import preprocess_for_model
 from ..utils.text import decode_sequence
+
+
+def _iou_cwh_np(boxes1, boxes2):
+    """Pairwise IoU, (B1, 4) x (B2, 4) xcycwh -> (B1, B2), pure numpy.
+
+    Host-side twin of ops.boxes.iou_cwh (same continuous convention,
+    parity-tested in tests/test_serving.py). The smoother runs on every
+    request with a DIFFERENT box count per frame — routing that through
+    a jnp op would compile a fresh XLA program per (B1, B2) shape pair
+    on the serving critical path (measured: each remote compile costs
+    seconds; requests timed out behind a compile storm of up to
+    max_boxes^2 shape pairs). Tracking <= 50 boxes is microseconds of
+    numpy and must stay off-device.
+    """
+    a1 = boxes1[:, 2] * boxes1[:, 3]
+    a2 = boxes2[:, 2] * boxes2[:, 3]
+    lo1, hi1 = boxes1[:, :2] - boxes1[:, 2:] / 2, boxes1[:, :2] + boxes1[:, 2:] / 2
+    lo2, hi2 = boxes2[:, :2] - boxes2[:, 2:] / 2, boxes2[:, :2] + boxes2[:, 2:] / 2
+    lo = np.maximum(lo1[:, None, :], lo2[None, :, :])
+    hi = np.minimum(hi1[:, None, :], hi2[None, :, :])
+    wh = np.maximum(hi - lo, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = a1[:, None] + a2[None, :] - inter
+    return inter / np.maximum(union, 1e-12)
 
 
 class TemporalSmoother:
@@ -43,9 +66,8 @@ class TemporalSmoother:
         n = len(boxes)
         ids = np.full(n, -1, dtype=np.int64)
         if self.prev_boxes is not None and len(self.prev_boxes) and n:
-            ious = np.asarray(
-                iou_cwh(jnp.asarray(boxes), jnp.asarray(self.prev_boxes))
-            )
+            ious = _iou_cwh_np(np.asarray(boxes, np.float64),
+                               np.asarray(self.prev_boxes, np.float64))
             taken = set()
             # greedy by IoU, best matches first
             flat = np.argsort(-ious, axis=None)

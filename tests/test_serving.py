@@ -622,3 +622,42 @@ def test_engine_data_parallel_matches_single():
         np.testing.assert_allclose(got["boxes"], ref["boxes"],
                                    rtol=1e-4, atol=1e-3)
         assert got["captions"] == ref["captions"]
+
+
+def test_smoother_numpy_iou_matches_device_op():
+    """The smoother's host-side IoU twin must match ops.boxes.iou_cwh.
+
+    The smoother runs per request on dynamically-shaped box sets; it
+    must stay pure numpy (a jnp call would compile one XLA program per
+    (n_prev, n_new) shape pair on the serving critical path). This pins
+    the numpy twin to the device op's continuous convention.
+    """
+    from densecap_tpu.ops.boxes import iou_cwh
+    from densecap_tpu.serve.engine import _iou_cwh_np
+
+    rng = np.random.RandomState(7)
+    for n, m in [(1, 1), (3, 5), (50, 50), (17, 2)]:
+        b1 = np.stack([rng.uniform(0, 480, n), rng.uniform(0, 480, n),
+                       rng.uniform(4, 200, n), rng.uniform(4, 200, n)], 1)
+        b2 = np.stack([rng.uniform(0, 480, m), rng.uniform(0, 480, m),
+                       rng.uniform(4, 200, m), rng.uniform(4, 200, m)], 1)
+        ref = np.asarray(iou_cwh(jnp.asarray(b1, jnp.float32),
+                                 jnp.asarray(b2, jnp.float32)))
+        got = _iou_cwh_np(b1, b2)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_smoother_makes_no_device_calls():
+    """assign_ids on varying shapes must never trace/compile a jit."""
+    import unittest.mock as mock
+
+    sm = TemporalSmoother()
+    rng = np.random.RandomState(0)
+    with mock.patch.object(jax, "jit",
+                           side_effect=AssertionError("jit on request path")):
+        for n in [3, 7, 1, 12, 5]:
+            boxes = np.stack(
+                [rng.uniform(0, 480, n), rng.uniform(0, 480, n),
+                 rng.uniform(10, 100, n), rng.uniform(10, 100, n)], 1)
+            ids = sm.assign_ids(boxes)
+            assert len(ids) == n
