@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..config import DenseCapConfig
 from ..models import densecap
-from ..utils.image import preprocess_for_model
+from ..parallel.train_step import normalize_uint8_images
+from ..utils.image import preprocess_for_model_uint8
 from ..utils.text import decode_sequence
 
 
@@ -136,10 +137,15 @@ class InferenceEngine:
         self.batch_window = batch_window_ms / 1000.0
         self.request_timeout = float(request_timeout_s)
 
+        # Requests ship RAW uint8 BGR canvases; the BGR/mean/pad
+        # normalization runs on-device inside the compiled program
+        # (bit-equal to the host f32 path — uint8->f32 is exact; XLA
+        # fuses it into conv1's input). 4x fewer transfer bytes per
+        # request, the same raw-uint8 pipe the train feed uses.
         if self.batch_size > 1:
             self._fwd_batch = jax.jit(
                 lambda p, ims, hs, ws: densecap.forward_test_batch(
-                    p, ims, hs, ws, cfg)
+                    p, normalize_uint8_images(ims, hs, ws), hs, ws, cfg)
             )
             import queue
 
@@ -149,7 +155,12 @@ class InferenceEngine:
             self._worker.start()
         else:
             self._fwd = jax.jit(
-                lambda p, im, h, w: densecap.forward_test(p, im, h, w, cfg)
+                lambda p, im, h, w: densecap.forward_test(
+                    p,
+                    normalize_uint8_images(
+                        im[None], jnp.reshape(h, (1,)),
+                        jnp.reshape(w, (1,)))[0],
+                    h, w, cfg)
             )
 
     def warmup(self):
@@ -207,10 +218,13 @@ class InferenceEngine:
                     hsj = jax.device_put(hsj, self._batch_sharding)
                     wsj = jax.device_put(wsj, self._batch_sharding)
                 out = self._fwd_batch(self.params, ims, hsj, wsj)
-                boxes = np.asarray(out.boxes)
-                scores = np.asarray(out.scores)
-                captions = np.asarray(out.captions)
-                valid = np.asarray(out.valid)
+                # ONE host fetch for the whole result pytree: each
+                # synchronous fetch costs a full link round-trip
+                # (~27 ms over a remote tunnel, doc/BENCH.md transport
+                # table) — four per-leaf np.asarray calls would pay it
+                # four times per micro-batch.
+                boxes, scores, captions, valid = jax.device_get(
+                    (out.boxes, out.scores, out.captions, out.valid))
                 for i, r in enumerate(reqs):
                     r["result"] = (boxes[i], scores[i], captions[i],
                                    valid[i])
@@ -245,8 +259,8 @@ class InferenceEngine:
                 self.params, jnp.asarray(canvas), jnp.float32(h),
                 jnp.float32(w),
             )
-            return (np.asarray(out.boxes), np.asarray(out.scores),
-                    np.asarray(out.captions), np.asarray(out.valid))
+            return jax.device_get(
+                (out.boxes, out.scores, out.captions, out.valid))
 
     def _assign_ids(self, boxes, stream_id):
         """Per-stream smoothing: fetch (or create) the stream's
@@ -274,7 +288,7 @@ class InferenceEngine:
         temporal smoother so concurrent clients each track their own
         box identities; omitted -> the single shared default stream.
         """
-        canvas, h, w, scale = preprocess_for_model(
+        canvas, h, w, scale = preprocess_for_model_uint8(
             rgb, self.cfg.image_size
         )
         all_boxes, all_scores, all_caps, valid = self._infer(canvas, h, w)

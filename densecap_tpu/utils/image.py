@@ -38,6 +38,27 @@ def preprocess_for_model(rgb, image_size=720):
     return canvas, float(H), float(W), scale
 
 
+def preprocess_for_model_uint8(rgb, image_size=720):
+    """Raw-uint8 twin of preprocess_for_model: canvas stays uint8 BGR.
+
+    The BGR flip + VGG mean subtraction + pad-zeroing move on-device
+    (parallel.train_step.normalize_uint8_images — uint8->f32 is exact,
+    so the result is bit-equal to the host f32 path). Shipping uint8
+    is 4x fewer transfer bytes; on the serving path that is the
+    difference between ~650 ms and ~30 ms per micro-batch over a
+    bandwidth-limited host->device link (doc/BENCH.md transport table).
+    """
+    from PIL import Image
+
+    H0, W0 = rgb.shape[:2]
+    scale = float(image_size) / max(H0, W0)
+    H, W = round(H0 * scale), round(W0 * scale)
+    im = Image.fromarray(rgb).resize((W, H), Image.BILINEAR)
+    canvas = np.zeros((image_size, image_size, 3), dtype=np.uint8)
+    canvas[:H, :W] = np.asarray(im, dtype=np.uint8)[:, :, ::-1]  # BGR
+    return canvas, float(H), float(W), scale
+
+
 def parse_buckets(spec, image_size):
     """'720x544,544x720' -> sorted [(h, w), ...] + the square fallback.
 

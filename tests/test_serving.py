@@ -661,3 +661,35 @@ def test_smoother_makes_no_device_calls():
                  rng.uniform(10, 100, n), rng.uniform(10, 100, n)], 1)
             ids = sm.assign_ids(boxes)
             assert len(ids) == n
+
+
+def test_engine_uint8_pipe_matches_host_f32_path():
+    """The serving raw-uint8 pipe (uint8 BGR canvas + on-device
+    normalize) must be bit-equal to the host f32 preprocessing it
+    replaced — uint8->f32 conversion is exact, so boxes/scores/captions
+    should match the direct forward_test on a host-normalized canvas
+    to float tolerance."""
+    from densecap_tpu.utils.image import preprocess_for_model
+
+    params = densecap.init_params(jax.random.PRNGKey(3), TINY)
+    eng = InferenceEngine(params, TINY, IDX_TO_TOKEN, max_boxes=5)
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 255, (100, 80, 3), dtype=np.uint8)
+
+    got = eng.process_array(rgb)
+
+    canvas, h, w, scale = preprocess_for_model(rgb, TINY.image_size)
+    out = densecap.forward_test(params, jnp.asarray(canvas),
+                                jnp.float32(h), jnp.float32(w), TINY)
+    boxes = np.asarray(out.boxes)[np.asarray(out.valid)][:5]
+    scores = np.asarray(out.scores)[np.asarray(out.valid)][:5]
+    xywh = np.zeros_like(boxes)
+    xywh[:, 0] = (boxes[:, 0] - (boxes[:, 2] - 1) / 2 - 1) / scale + 1
+    xywh[:, 1] = (boxes[:, 1] - (boxes[:, 3] - 1) / 2 - 1) / scale + 1
+    xywh[:, 2] = boxes[:, 2] / scale
+    xywh[:, 3] = boxes[:, 3] / scale
+
+    np.testing.assert_allclose(np.asarray(got["boxes"]), xywh,
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["scores"]), scores,
+                               rtol=1e-4, atol=1e-4)
