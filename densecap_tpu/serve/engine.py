@@ -150,9 +150,21 @@ class InferenceEngine:
             import queue
 
             self._q = queue.Queue()
-            self._worker = threading.Thread(target=self._batch_loop,
+            # Two-stage pipeline: the dispatcher assembles a batch,
+            # issues its (async) host->device transfer and dispatches
+            # the compiled step; the completer blocks on the previous
+            # batch's results. Batch i+1's transfer rides the link
+            # while batch i computes — the serialized loop paid
+            # put + compute + fetch per batch, the pipeline pays
+            # max(put, compute + fetch) at steady state. maxsize
+            # bounds in-flight batches (device memory + backpressure).
+            self._inflight = queue.Queue(maxsize=2)
+            self._worker = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
             self._worker.start()
+            self._completer = threading.Thread(target=self._complete_loop,
+                                               daemon=True)
+            self._completer.start()
         else:
             self._fwd = jax.jit(
                 lambda p, im, h, w: densecap.forward_test(
@@ -183,10 +195,13 @@ class InferenceEngine:
             self.request_timeout = saved
 
     # ---- micro-batching ---------------------------------------------------
-    def _batch_loop(self):
-        """Worker loop. Exceptions from a batch are propagated to every
-        waiting request (and the loop keeps serving) — a failed forward
-        must never leave clients blocked on their Event forever."""
+    def _dispatch_loop(self):
+        """Pipeline stage 1: assemble a micro-batch, issue its async
+        host->device transfer, dispatch the compiled step, and hand the
+        in-flight result to the completer. Exceptions from a batch are
+        propagated to every waiting request (and the loop keeps
+        serving) — a failed forward must never leave clients blocked on
+        their Event forever."""
         import queue
         import time as _time
 
@@ -217,7 +232,23 @@ class InferenceEngine:
                     ims = jax.device_put(ims, self._batch_sharding)
                     hsj = jax.device_put(hsj, self._batch_sharding)
                     wsj = jax.device_put(wsj, self._batch_sharding)
+                # async dispatch: returns futures, does not block on
+                # the transfer or the device step
                 out = self._fwd_batch(self.params, ims, hsj, wsj)
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                for r in reqs:
+                    r["error"] = e
+                    r["event"].set()
+                continue
+            self._inflight.put((reqs, out))
+
+    def _complete_loop(self):
+        """Pipeline stage 2: block on the oldest in-flight batch's
+        results and wake its requests, while the dispatcher's next
+        batch transfers/computes behind it."""
+        while True:
+            reqs, out = self._inflight.get()
+            try:
                 # ONE host fetch for the whole result pytree: each
                 # synchronous fetch costs a full link round-trip
                 # (~27 ms over a remote tunnel, doc/BENCH.md transport
